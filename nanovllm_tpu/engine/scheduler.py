@@ -1,0 +1,160 @@
+"""vLLM-v1-style continuous-batching scheduler.
+
+Pure-Python and device-free — the control plane never touches jax (same
+layering as the reference, scheduler.py:30-34).
+
+Policy reproduced from the reference (nanovllm/engine/scheduler.py:101-267,
+SURVEY.md §3.2):
+
+  Phase 1 — running queue, in order, while token budget remains: each sequence
+  advances by ``len(seq) - num_cached_tokens`` tokens (clamped to the budget
+  when chunked prefill is on, and to ``max_model_len - 1 - num_cached``).  If
+  the block manager cannot grow the sequence, the *most recently admitted*
+  running sequence is preempted (LIFO) — released and pushed to the *front* of
+  the waiting queue — and the check retries.
+
+  Phase 2 — waiting queue, only if nothing was preempted this round (avoids
+  admit->preempt livelock, reference scheduler.py:173): probe the prefix
+  cache, clamp the chunk, and admit iff the chunk fits the remaining budget
+  and the free list can hold (free-list prefix hits + miss tokens).
+
+  postprocess — append sampled tokens for sequences that produced logits;
+  finish on EOS (unless ignore_eos) / max_tokens / max_model_len; then commit
+  progress (num_cached += num_new; num_new = 0) for every unfinished scheduled
+  sequence.  Committing *after* sampling leaves the freshly appended token
+  uncached, so the next schedule() round gives every decode >= 1 new token.
+"""
+
+from collections import deque
+
+from nanovllm_tpu.config import Config
+from nanovllm_tpu.engine.block_manager import BlockManager
+from nanovllm_tpu.engine.sequence import Sequence, SequenceStatus
+
+
+class SchedulerStats:
+    """Per-step counters (observability beyond the reference)."""
+
+    def __init__(self):
+        self.num_preempted = 0
+        self.num_prefix_cached_tokens = 0
+        self.num_scheduled_tokens = 0
+        self.num_steps = 0
+
+
+class Scheduler:
+    def __init__(self, config: Config):
+        self.chunked_prefill = config.chunked_prefill
+        self.max_model_len = config.max_model_len
+        self.max_num_seqs = config.max_num_seqs
+        self.max_num_batched_tokens = config.max_num_batched_tokens
+        self.eos = config.eos
+        assert config.num_kvcache_blocks > 0, "num_kvcache_blocks must be set before Scheduler init"
+        self.block_manager = BlockManager(config.num_kvcache_blocks, config.kvcache_block_size)
+        self.waiting: deque[Sequence] = deque()
+        self.running: deque[Sequence] = deque()
+        self.stats = SchedulerStats()
+
+    def is_finished(self) -> bool:
+        return not self.waiting and not self.running
+
+    def add(self, seq: Sequence) -> None:
+        assert len(seq) <= self.max_model_len - 1, "sequence length exceeds max_model_len"
+        self.waiting.append(seq)
+
+    def preempt(self, seq: Sequence) -> None:
+        """Release the sequence's cache and push it to the *front* of waiting
+        (reference scheduler.py:204-220)."""
+        seq.status = SequenceStatus.WAITING
+        self.block_manager.deallocate(seq)
+        self.waiting.appendleft(seq)
+        self.stats.num_preempted += 1
+
+    def schedule(self) -> list[Sequence]:
+        budget = self.max_num_batched_tokens
+        scheduled_running: list[Sequence] = []
+        scheduled_new: list[Sequence] = []
+        preempted = False
+
+        # ---- phase 1: advance running sequences ----
+        i = 0
+        while i < len(self.running) and budget > 0:
+            seq = self.running[i]
+            num_new = len(seq) - seq.num_cached_tokens
+            if self.chunked_prefill:
+                num_new = min(num_new, budget)
+            num_new = min(num_new, self.max_model_len - 1 - seq.num_cached_tokens)
+            assert num_new > 0
+            while not self.block_manager.can_append(seq, num_new):
+                if len(self.running) - 1 == i:
+                    # nothing left behind us to evict: this seq itself yields
+                    break
+                victim = self.running.pop()  # LIFO: most recently admitted
+                self.preempt(victim)
+                preempted = True
+            else:
+                seq.num_new_tokens = num_new
+                self.block_manager.may_append(seq)
+                scheduled_running.append(seq)
+                budget -= num_new
+                i += 1
+                continue
+            # can_append still failing with only [0..i] left: preempt seq itself
+            victim = self.running.pop()
+            self.preempt(victim)
+            preempted = True
+            break
+
+        # ---- phase 2: admit waiting sequences (skip after any preemption) ----
+        if not preempted:
+            while self.waiting and budget > 0 and len(self.running) < self.max_num_seqs:
+                seq = self.waiting[0]
+                assert not seq.block_table
+                hit_used, hit_free, num_new = self.block_manager.get_token_layout(seq)
+                if self.chunked_prefill:
+                    num_new = min(num_new, budget)
+                assert num_new > 0
+                # free-list hits still consume free blocks on allocate
+                if num_new > budget or not self.block_manager.can_allocate(hit_free + num_new):
+                    break
+                seq.num_new_tokens = num_new
+                self.block_manager.allocate(seq)
+                assert seq.num_cached_tokens == hit_used + hit_free
+                self.stats.num_prefix_cached_tokens += seq.num_cached_tokens
+                budget -= num_new
+                seq.status = SequenceStatus.RUNNING
+                self.waiting.popleft()
+                self.running.append(seq)
+                scheduled_new.append(seq)
+
+        scheduled = scheduled_running + scheduled_new
+        assert scheduled, "scheduler made no progress"
+        self.stats.num_scheduled_tokens += sum(s.num_new_tokens for s in scheduled)
+        self.stats.num_steps += 1
+        return scheduled
+
+    def postprocess(
+        self,
+        seqs: list[Sequence],
+        token_ids: list[int],
+        sampled_seq_indices: list[int],
+    ) -> None:
+        """Append sampled tokens and commit per-step progress.
+
+        ``sampled_seq_indices`` selects which of ``seqs`` produced a logit/token
+        this step (sequences mid-chunked-prefill do not; reference
+        scheduler.py:222-267, model_runner.py:448-451).
+        """
+        assert len(token_ids) == len(sampled_seq_indices)
+        for seq_index, token_id in zip(sampled_seq_indices, token_ids):
+            seq = seqs[seq_index]
+            seq.append_token(token_id)
+            hit_eos = not seq.ignore_eos and token_id == self.eos
+            if hit_eos or seq.num_completion_tokens == seq.max_tokens or len(seq) >= self.max_model_len:
+                seq.status = SequenceStatus.FINISHED
+                self.block_manager.deallocate(seq)
+                self.running.remove(seq)
+        for seq in seqs:
+            if not seq.is_finished:
+                seq.num_cached_tokens += seq.num_new_tokens
+                seq.num_new_tokens = 0
