@@ -1,0 +1,121 @@
+"""Engine composition root: Config -> ModelRunner -> Scheduler -> step loop.
+
+API parity with the reference LLMEngine (reference engine/llm_engine.py:64-270):
+``add_request``/``step``/``generate``/``is_finished``, same output shapes and
+ordering (outputs sorted by seq_id = input order).  Differences:
+
+  * No worker processes, events, SharedMemory, or atexit teardown — the JAX
+    single-controller design has exactly one process (SURVEY.md §7.1).
+  * ``add_request`` returns the sequence id (the reference's serving bench
+    reads ``scheduler.waiting[-1].seq_id``; SURVEY.md §3.4 calls the id the
+    de-facto interface).
+  * Works without a tokenizer when prompts are token-id lists (random-weight
+    bench mode has no checkpoint directory).
+"""
+
+import time
+from dataclasses import fields
+
+from nanovllm_tpu.config import Config
+from nanovllm_tpu.engine.model_runner import ModelRunner
+from nanovllm_tpu.engine.scheduler import Scheduler
+from nanovllm_tpu.engine.sequence import Sequence
+from nanovllm_tpu.sampling_params import SamplingParams
+
+
+class LLMEngine:
+    def __init__(self, model: str = "", **kwargs):
+        config_fields = {f.name for f in fields(Config)}
+        unknown = set(kwargs) - config_fields
+        if unknown:
+            raise TypeError(f"unknown config options: {sorted(unknown)}")
+        config = Config(model=model, **kwargs)
+        self.config = config
+        self.model_runner = ModelRunner(config)  # sets config.num_kvcache_blocks
+        self.tokenizer = self._load_tokenizer(model)
+        if self.tokenizer is not None and self.tokenizer.eos_token_id is not None:
+            config.eos = self.tokenizer.eos_token_id
+        self.scheduler = Scheduler(config)
+
+    @staticmethod
+    def _load_tokenizer(model: str):
+        if not model:
+            return None
+        try:
+            from transformers import AutoTokenizer
+
+            return AutoTokenizer.from_pretrained(model, use_fast=True)
+        except Exception:
+            return None
+
+    # -- online API -----------------------------------------------------------
+
+    def add_request(self, prompt, sampling_params: SamplingParams) -> int:
+        if isinstance(prompt, str):
+            assert self.tokenizer is not None, "string prompts need a tokenizer"
+            prompt = self.tokenizer.encode(prompt)
+        seq = Sequence(prompt, sampling_params, block_size=self.config.kvcache_block_size)
+        seq.arrival_time = time.perf_counter()
+        self.scheduler.add(seq)
+        return seq.seq_id
+
+    def step(self):
+        """One schedule -> run -> postprocess round.
+
+        Returns (outputs, num_total_tokens): outputs is
+        [(seq_id, completion_token_ids)] for sequences finished this step;
+        num_total_tokens counts their full lengths (throughput accounting,
+        reference llm_engine.py:159-189).
+        """
+        seqs = self.scheduler.schedule()
+        token_ids, sampled_indices = self.model_runner.run(seqs)
+        self.scheduler.postprocess(seqs, token_ids, sampled_indices)
+        outputs = [
+            (seq.seq_id, seq.completion_token_ids) for seq in seqs if seq.is_finished
+        ]
+        num_total_tokens = sum(len(seq) for seq in seqs if seq.is_finished)
+        return outputs, num_total_tokens
+
+    def is_finished(self) -> bool:
+        return self.scheduler.is_finished()
+
+    # -- offline API ----------------------------------------------------------
+
+    def generate(
+        self,
+        prompts,
+        sampling_params,
+        use_tqdm: bool = True,
+    ) -> list[dict]:
+        """Submit all prompts, run the step loop to completion, return
+        [{"text", "token_ids"}] in input order (reference llm_engine.py:199-270)."""
+        if not isinstance(sampling_params, list):
+            sampling_params = [sampling_params] * len(prompts)
+        assert len(sampling_params) == len(prompts)
+        pbar = None
+        if use_tqdm:
+            from tqdm.auto import tqdm
+
+            pbar = tqdm(total=len(prompts), desc="Generating", dynamic_ncols=True)
+        seq_ids = [self.add_request(p, sp) for p, sp in zip(prompts, sampling_params)]
+        order = {sid: i for i, sid in enumerate(seq_ids)}
+        results: list = [None] * len(prompts)
+        num_total_tokens = 0
+        t0 = time.perf_counter()
+        while not self.is_finished():
+            outputs, n = self.step()
+            num_total_tokens += n
+            if pbar is not None and n:
+                pbar.set_postfix(
+                    {"tok/s": f"{int(num_total_tokens / (time.perf_counter() - t0))}"}
+                )
+            for seq_id, completion in outputs:
+                results[order[seq_id]] = completion
+                if pbar is not None:
+                    pbar.update(1)
+        if pbar is not None:
+            pbar.close()
+        decode = (
+            self.tokenizer.decode if self.tokenizer is not None else lambda ids: ""
+        )
+        return [{"text": decode(ids), "token_ids": ids} for ids in results]

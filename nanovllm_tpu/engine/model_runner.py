@@ -1,0 +1,182 @@
+"""Single-controller JAX model runner.
+
+Replaces the reference's per-GPU ModelRunner processes + SharedMemory/Event
+control plane + NCCL data plane + CUDA Graph capture (reference
+model_runner.py:87-715) with one Python process driving a ``Mesh(("tp",))``:
+
+  * the whole step (embed -> layers -> sample) is ONE jitted ``shard_map``
+    program; XLA inserts/overlaps the ICI collectives,
+  * the jit cache over bucketed batch shapes plays the role of the CUDA-Graph
+    ladder (and covers prefill shapes, which the reference never graphed),
+  * the KV cache is a donated jit argument, updated functionally in place,
+  * KV-cache sizing derives from device memory stats + a utilization knob,
+    mirroring allocate_kv_cache (reference model_runner.py:319-375).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nanovllm_tpu.config import Config
+from nanovllm_tpu.engine.batch import StepBatch, page_bucket, prepare_step_batch
+from nanovllm_tpu.engine.sequence import Sequence
+from nanovllm_tpu.models.qwen3 import ModelSpec, forward_and_sample
+from nanovllm_tpu.parallel.mesh import (
+    TP_AXIS,
+    kv_pspec,
+    make_mesh,
+    param_pspecs,
+    shard_params,
+)
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map  # jax >= 0.7 style
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def _dtype_size(dtype: str) -> int:
+    return jnp.dtype(dtype).itemsize
+
+
+class ModelRunner:
+    def __init__(self, config: Config, devices=None):
+        self.config = config
+        self.spec = ModelSpec.from_hf(
+            config.hf_config, config.tensor_parallel_size, config.dtype
+        )
+        self.mesh = make_mesh(config.tensor_parallel_size, devices)
+        self.attn_impl = self._pick_attn_impl()
+
+        params_np = self._load_or_init_params()
+        self.params = shard_params(params_np, self.mesh)
+        del params_np
+
+        if config.num_kvcache_blocks <= 0:
+            config.num_kvcache_blocks = self._derive_num_blocks()
+        assert config.num_kvcache_blocks > 0
+        self.kv_pages = self._alloc_kv_pages(config.num_kvcache_blocks)
+
+        self._step = self._build_step()
+        self._step_counter = 0
+        self._base_key = jax.random.key(0)
+        # page-table width bucket grows monotonically to bound retraces
+        self._pages_bucket = 8
+
+    # -- setup ---------------------------------------------------------------
+
+    def _pick_attn_impl(self) -> str:
+        impl = self.config.attention_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "ref"
+        if impl == "pallas":
+            assert self.config.kvcache_block_size % 16 == 0, (
+                "pallas paged attention needs kvcache_block_size % 16 == 0"
+            )
+        return impl
+
+    def _load_or_init_params(self):
+        from nanovllm_tpu.utils.loader import init_random_params, load_qwen3_params
+
+        if self.config.random_weights:
+            return init_random_params(0, self.spec)
+        return load_qwen3_params(self.config.model, self.spec)
+
+    def _kv_page_shape(self, num_blocks: int):
+        s = self.spec
+        return (
+            s.num_layers,
+            num_blocks,
+            self.config.kvcache_block_size,
+            2 * s.num_kv_heads,
+            s.head_dim,
+        )
+
+    def _alloc_kv_pages(self, num_blocks: int):
+        shape = self._kv_page_shape(num_blocks)
+        sharding = NamedSharding(self.mesh, kv_pspec())
+        return jax.device_put(
+            jnp.zeros(shape, dtype=jnp.dtype(self.spec.dtype)), sharding
+        )
+
+    def _derive_num_blocks(self) -> int:
+        """Size the KV cache from per-device free HBM, like the reference's
+        allocate_kv_cache (model_runner.py:352-366) but via PJRT memory stats."""
+        s = self.spec
+        block_bytes_per_dev = (
+            s.num_layers
+            * self.config.kvcache_block_size
+            * 2 * s.kv_heads_l
+            * s.head_dim
+            * _dtype_size(s.dtype)
+        )
+        dev = self.mesh.devices.flat[0]
+        stats = {}
+        try:
+            stats = dev.memory_stats() or {}
+        except Exception:
+            pass
+        limit = stats.get("bytes_limit", 0)
+        in_use = stats.get("bytes_in_use", 0)
+        if not limit:
+            # CPU / unknown backend: enough for the configured worst case,
+            # capped to keep host tests light.
+            want = self.config.max_num_seqs * (
+                (self.config.max_model_len + self.config.kvcache_block_size - 1)
+                // self.config.kvcache_block_size
+            )
+            return min(want, 4096)
+        # reserve headroom for activations/logits of the largest bucket
+        t_max = self.config.max_num_batched_tokens
+        act_reserve = 4 * t_max * s.hidden_size * _dtype_size(s.dtype) * 8
+        logits_reserve = 4 * self.config.max_num_seqs * s.vocab_l * 4
+        budget = int(limit * self.config.gpu_memory_utilization) - in_use
+        budget -= act_reserve + logits_reserve
+        num = budget // block_bytes_per_dev
+        assert num > 0, (
+            f"no HBM left for KV cache: limit={limit} in_use={in_use} "
+            f"block_bytes={block_bytes_per_dev}"
+        )
+        return int(num)
+
+    def _build_step(self):
+        spec = self.spec
+        attn_impl = self.attn_impl
+        pspecs = param_pspecs()
+        if spec.tie_embeddings:
+            pspecs.pop("lm_head")
+        batch_specs = StepBatch(*([P()] * len(StepBatch._fields)))
+
+        def local(params, kv_pages, batch, key):
+            return forward_and_sample(
+                params, kv_pages, batch, key, spec, TP_AXIS, attn_impl
+            )
+
+        fn = _shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(pspecs, kv_pspec(), batch_specs, P()),
+            out_specs=(P(), kv_pspec()),
+            check_vma=False,
+        )
+        return jax.jit(fn, donate_argnums=(1,))
+
+    # -- per-step execution ---------------------------------------------------
+
+    def run(self, seqs: list[Sequence]) -> tuple[list[int], list[int]]:
+        """Execute one step; returns (sampled token ids, sampled seq indices)."""
+        max_pages = max(len(s.block_table) for s in seqs)
+        while self._pages_bucket < max_pages:
+            self._pages_bucket *= 2
+        batch_np, sampled = prepare_step_batch(
+            seqs, self.config.kvcache_block_size, self._pages_bucket
+        )
+        batch = jax.tree.map(jnp.asarray, batch_np)
+        key = jax.random.fold_in(self._base_key, self._step_counter)
+        self._step_counter += 1
+        tokens_dev, self.kv_pages = self._step(self.params, self.kv_pages, batch, key)
+        tokens = np.asarray(jax.device_get(tokens_dev))
+        return [int(tokens[i]) for i in sampled], sampled

@@ -1,0 +1,213 @@
+"""Qwen3 (GQA + QK-Norm) — functional JAX model.
+
+Capability parity with the reference's single model family (reference
+models/qwen3.py:444-533): grouped-query attention with per-head QK RMSNorm,
+rotate-half RoPE, SwiGLU MLP, pre-norm residual structure, tied embeddings
+support.  Redesigned TPU-first:
+
+  * Parameters are a pytree with layer weights *stacked* on axis 0 and the
+    forward pass runs ``lax.scan`` over layers — one traced layer body instead
+    of N, which keeps XLA compile time flat in depth.
+  * Tensor parallelism is expressed as local-shard code inside ``shard_map``:
+    every function here takes *local* shards and uses ``lax.psum`` where the
+    reference used NCCL all_reduce (linear.py:410, embed_head.py:130).  With
+    ``axis_name=None`` the same code runs unsharded.
+  * Attention metadata arrives as an explicit pytree argument (StepBatch) —
+    the reference's module-global Context (context.py) exists only to satisfy
+    CUDA-Graph signatures and has no reason to exist under jit.
+
+Weight layout (local shard shapes; ``_l`` = divided by tp):
+  embed      [V_l, H]          vocab-sharded rows
+  qkv        [H, (q+2kv)_l]    column-parallel, packed [q_s|k_s|v_s] per shard
+  q_norm     [hd], k_norm [hd] replicated
+  o          [q_l, H]          row-parallel (psum after)
+  gate_up    [H, 2*I_l]        column-parallel, packed [gate_s|up_s] per shard
+  down       [I_l, H]          row-parallel (psum after)
+  lm_head    [V_l, H]          vocab-sharded rows (tied to embed when configured)
+"""
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from nanovllm_tpu.layers.common import apply_rope, rms_norm, rope_cos_sin, silu_and_mul
+from nanovllm_tpu.layers.sampler import sample_local
+from nanovllm_tpu.ops.attention import ragged_paged_attention
+from nanovllm_tpu.ops.kv_cache import write_kv_pages
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    """Static model hyperparameters (hashable; safe to close over in jit)."""
+
+    num_layers: int
+    hidden_size: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    intermediate_size: int
+    vocab_size: int
+    rope_theta: float
+    rms_eps: float
+    tie_embeddings: bool
+    dtype: str = "bfloat16"
+    tp_size: int = 1
+
+    @classmethod
+    def from_hf(cls, hf_config, tp_size: int = 1, dtype: str = "bfloat16"):
+        head_dim = getattr(hf_config, "head_dim", None) or (
+            hf_config.hidden_size // hf_config.num_attention_heads
+        )
+        spec = cls(
+            num_layers=hf_config.num_hidden_layers,
+            hidden_size=hf_config.hidden_size,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            head_dim=head_dim,
+            intermediate_size=hf_config.intermediate_size,
+            vocab_size=hf_config.vocab_size,
+            rope_theta=float(getattr(hf_config, "rope_theta", 10000.0)),
+            rms_eps=float(getattr(hf_config, "rms_norm_eps", 1e-6)),
+            tie_embeddings=bool(getattr(hf_config, "tie_word_embeddings", False)),
+            dtype=dtype,
+            tp_size=tp_size,
+        )
+        assert spec.num_heads % tp_size == 0, "num_heads must divide tp"
+        assert spec.num_kv_heads % tp_size == 0, "num_kv_heads must divide tp"
+        assert spec.intermediate_size % tp_size == 0
+        return spec
+
+    # local (per-shard) sizes
+    @property
+    def heads_l(self):
+        return self.num_heads // self.tp_size
+
+    @property
+    def kv_heads_l(self):
+        return self.num_kv_heads // self.tp_size
+
+    @property
+    def q_size_l(self):
+        return self.heads_l * self.head_dim
+
+    @property
+    def kv_size_l(self):
+        return self.kv_heads_l * self.head_dim
+
+    @property
+    def inter_l(self):
+        return self.intermediate_size // self.tp_size
+
+    @property
+    def vocab_padded(self):
+        """Vocab rounded up so it divides tp (pad rows are masked everywhere)."""
+        v, tp = self.vocab_size, self.tp_size
+        return (v + tp - 1) // tp * tp
+
+    @property
+    def vocab_l(self):
+        return self.vocab_padded // self.tp_size
+
+    @property
+    def sm_scale(self):
+        return self.head_dim ** -0.5
+
+
+def _maybe_psum(x, axis_name):
+    return lax.psum(x, axis_name) if axis_name else x
+
+
+def embed_lookup(embed_l, token_ids, spec: ModelSpec, axis_name):
+    """Vocab-parallel embedding: mask + local lookup + psum (reference
+    embed_head.py:95-131)."""
+    v_l = embed_l.shape[0]
+    shard = lax.axis_index(axis_name) if axis_name else 0
+    local = token_ids - shard * v_l
+    ok = (local >= 0) & (local < v_l)
+    x = jnp.take(embed_l, jnp.clip(local, 0, v_l - 1), axis=0)
+    x = jnp.where(ok[:, None], x, 0)
+    return _maybe_psum(x, axis_name)
+
+
+def decoder_layer(x, layer_params, kv_pages_l, batch, cos, sin, spec: ModelSpec, axis_name, attn_impl):
+    """One pre-norm decoder layer on local shards (reference qwen3.py:278-377)."""
+    t = x.shape[0]
+    lp = layer_params
+
+    # --- attention ---
+    h = rms_norm(x, lp["input_norm"], spec.rms_eps)
+    qkv = h @ lp["qkv"]                                   # [T, (q+2kv)_l]
+    q, k, v = jnp.split(qkv, [spec.q_size_l, spec.q_size_l + spec.kv_size_l], axis=-1)
+    q = q.reshape(t, spec.heads_l, spec.head_dim)
+    k = k.reshape(t, spec.kv_heads_l, spec.head_dim)
+    v = v.reshape(t, spec.kv_heads_l, spec.head_dim)
+    # Qwen3 QK-Norm: per-head RMSNorm before RoPE (reference qwen3.py:126-128)
+    q = rms_norm(q, lp["q_norm"], spec.rms_eps)
+    k = rms_norm(k, lp["k_norm"], spec.rms_eps)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    kv_pages_l = write_kv_pages(kv_pages_l, k, v, batch.slot_mapping)
+    o = ragged_paged_attention(
+        q, kv_pages_l, batch.kv_lens, batch.page_indices, batch.cu_q_lens,
+        sm_scale=spec.sm_scale, impl=attn_impl,
+    )
+    o = o.reshape(t, spec.q_size_l) @ lp["o"]             # [T, H]
+    x = x + _maybe_psum(o, axis_name)
+
+    # --- mlp ---
+    h = rms_norm(x, lp["post_norm"], spec.rms_eps)
+    gate_up = h @ lp["gate_up"]                           # [T, 2*I_l]
+    m = silu_and_mul(gate_up) @ lp["down"]                # [T, H]
+    x = x + _maybe_psum(m, axis_name)
+    return x, kv_pages_l
+
+
+def forward_local(params, kv_pages, batch, spec: ModelSpec, axis_name, attn_impl):
+    """Full forward on local shards: embed -> scan(layers) -> final norm.
+
+    Returns (hidden [T, H], new_kv_pages [L, ...]).
+    """
+    x = embed_lookup(params["embed"], batch.token_ids, spec, axis_name)
+    cos, sin = rope_cos_sin(batch.positions, spec.head_dim, spec.rope_theta)
+
+    def body(h, xs):
+        lp, pages_l = xs
+        h, new_pages = decoder_layer(h, lp, pages_l, batch, cos, sin, spec, axis_name, attn_impl)
+        return h, new_pages
+
+    x, new_kv_pages = lax.scan(body, x, (params["layers"], kv_pages))
+    x = rms_norm(x, params["final_norm"], spec.rms_eps)
+    return x, new_kv_pages
+
+
+def compute_logits_local(params, hidden_sel, spec: ModelSpec):
+    """Local vocab-shard logits for selected positions: [S, V_l] in fp32."""
+    lm = params["embed"] if spec.tie_embeddings else params["lm_head"]
+    return jnp.einsum(
+        "sh,vh->sv", hidden_sel.astype(jnp.float32), lm.astype(jnp.float32)
+    )
+
+
+def forward_and_sample(params, kv_pages, batch, key, spec: ModelSpec, axis_name, attn_impl):
+    """The jitted per-step body (run under shard_map when tp > 1).
+
+    Returns (sampled token ids [S], new kv_pages).  Tokens are computed for
+    every padded sequence slot; the host keeps only the slots that were fully
+    scheduled this step (reference model_runner.py:448-451 semantics).
+    """
+    hidden, new_kv_pages = forward_local(params, kv_pages, batch, spec, axis_name, attn_impl)
+    sel = jnp.take(hidden, batch.logits_indices, axis=0)   # [S, H]
+    logits = compute_logits_local(params, sel, spec)       # [S, V_l]
+    shard = lax.axis_index(axis_name) if axis_name else 0
+    if axis_name:
+        key = jax.random.fold_in(key, shard)
+    tokens = sample_local(
+        logits, batch.temperatures, key,
+        vocab_start=shard * spec.vocab_l,
+        vocab_size=spec.vocab_size,
+        axis_name=axis_name,
+    )
+    return tokens, new_kv_pages

@@ -1,0 +1,75 @@
+"""Device mesh and sharding specs for tensor parallelism.
+
+TPU-native replacement for the reference's process-per-GPU NCCL world
+(reference model_runner.py:104-167, linear.py:137-411): a single controller
+drives a ``Mesh(("tp",))`` and all communication is XLA collectives inside
+``shard_map``.  The per-layer comm pattern matches the reference exactly
+(SURVEY.md §2.4): one psum after o_proj, one after down_proj, one for the
+vocab-parallel embedding, and a small all_gather for the sharded sampler.
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+TP_AXIS = "tp"
+
+
+def make_mesh(tp_size: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= tp_size, (
+        f"need {tp_size} devices, have {len(devices)}"
+    )
+    return Mesh(np.asarray(devices[:tp_size]), (TP_AXIS,))
+
+
+def param_pspecs() -> dict:
+    """PartitionSpecs matching the param pytree layout of models/qwen3.py."""
+    return {
+        "embed": P(TP_AXIS, None),
+        "layers": {
+            "input_norm": P(None, None),
+            "qkv": P(None, None, TP_AXIS),
+            "q_norm": P(None, None),
+            "k_norm": P(None, None),
+            "o": P(None, TP_AXIS, None),
+            "post_norm": P(None, None),
+            "gate_up": P(None, None, TP_AXIS),
+            "down": P(None, TP_AXIS, None),
+        },
+        "final_norm": P(None),
+        "lm_head": P(TP_AXIS, None),
+    }
+
+
+def kv_pspec() -> P:
+    """KV pages sharded on the kv-head axis: [L, P, page, 2*kvh, hd]."""
+    return P(None, None, None, TP_AXIS, None)
+
+
+def pack_tp(arrays: list[np.ndarray], tp: int, axis: int) -> np.ndarray:
+    """Interleave tensors chunk-major for fused column-parallel matmuls.
+
+    Splits each array into ``tp`` equal chunks along ``axis`` and concatenates
+    them shard-major, so a global array sharded with P(..., "tp", ...) hands
+    every shard its contiguous ``[a_s | b_s | ...]`` pack.  This is the
+    TPU-mesh equivalent of the reference's packed-module weight loaders
+    (QKVParallelLinear / MergedColumnParallelLinear shard offsets,
+    linear.py:261-332, :201-258).
+    """
+    chunk_lists = [np.split(np.asarray(a), tp, axis=axis) for a in arrays]
+    shards = [c for chunks in zip(*chunk_lists) for c in chunks]
+    return np.concatenate(shards, axis=axis)
+
+
+def shard_params(params, mesh: Mesh):
+    """device_put a (numpy) param pytree with the TP shardings."""
+    specs = param_pspecs()
+    if "lm_head" not in params:
+        specs = dict(specs)
+        specs.pop("lm_head")
+    return jax.tree.map(
+        lambda arr, spec: jax.device_put(arr, NamedSharding(mesh, spec)),
+        params,
+        specs,
+    )

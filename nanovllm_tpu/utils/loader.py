@@ -1,0 +1,135 @@
+"""Weight loading: HF safetensors -> stacked, TP-packed param pytree.
+
+Capability parity with the reference loader (reference utils/loader.py:44-95):
+iterates ``*.safetensors``, routes q/k/v -> packed qkv and gate/up -> packed
+gate_up (the reference's ``packed_modules_mapping``, qwen3.py:465-471), and
+honors ``tie_word_embeddings`` (qwen3.py:481-482).  Differences:
+
+  * Weights are stacked across layers (axis 0) for the scan-over-layers
+    forward, and transposed to [in, out] so matmuls are ``x @ w`` (MXU-natural).
+  * Column-parallel packs are interleaved shard-major (parallel/mesh.pack_tp)
+    so a mesh-sharded global array gives each shard its contiguous
+    [q_s|k_s|v_s] / [gate_s|up_s] slice — replacing the reference's per-class
+    shard-offset weight_loader logic (linear.py:297-332).
+  * Vocab rows are zero-padded up to a multiple of tp (masked at lookup and
+    sampling time).
+"""
+
+import glob
+import os
+
+import numpy as np
+
+from nanovllm_tpu.models.qwen3 import ModelSpec
+from nanovllm_tpu.parallel.mesh import pack_tp
+
+try:  # numpy bfloat16 support for safetensors round-trips
+    import ml_dtypes
+
+    BFLOAT16 = np.dtype(ml_dtypes.bfloat16)
+except ImportError:  # pragma: no cover
+    BFLOAT16 = None
+
+
+def _np_dtype(name: str):
+    if name == "bfloat16":
+        assert BFLOAT16 is not None, "ml_dtypes required for bfloat16 load"
+        return BFLOAT16
+    return np.dtype(name)
+
+
+def _pad_vocab(arr: np.ndarray, spec: ModelSpec) -> np.ndarray:
+    pad = spec.vocab_padded - arr.shape[0]
+    if pad:
+        arr = np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)], axis=0)
+    return arr
+
+
+def load_qwen3_params(path: str, spec: ModelSpec) -> dict:
+    """Read an HF Qwen3 checkpoint directory into the model's param pytree
+    (host numpy arrays, globally shaped, TP-packed)."""
+    from safetensors import safe_open
+
+    files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    assert files, f"no safetensors found under {path}"
+    raw: dict[str, np.ndarray] = {}
+    for f in files:
+        with safe_open(f, framework="np") as st:
+            for name in st.keys():
+                raw[name] = st.get_tensor(name)
+    return assemble_params(raw, spec)
+
+
+def assemble_params(raw: dict, spec: ModelSpec) -> dict:
+    """Build the param pytree from a flat HF state dict (numpy)."""
+    dt = _np_dtype(spec.dtype)
+    tp = spec.tp_size
+
+    def get(name):
+        return raw[name].astype(dt)
+
+    def linear(name):
+        # HF stores [out, in]; we want [in, out]
+        return get(name).T
+
+    layers = {k: [] for k in
+              ("input_norm", "qkv", "q_norm", "k_norm", "o", "post_norm", "gate_up", "down")}
+    for i in range(spec.num_layers):
+        p = f"model.layers.{i}."
+        layers["input_norm"].append(get(p + "input_layernorm.weight"))
+        layers["qkv"].append(pack_tp(
+            [linear(p + "self_attn.q_proj.weight"),
+             linear(p + "self_attn.k_proj.weight"),
+             linear(p + "self_attn.v_proj.weight")], tp, axis=1))
+        layers["q_norm"].append(get(p + "self_attn.q_norm.weight"))
+        layers["k_norm"].append(get(p + "self_attn.k_norm.weight"))
+        layers["o"].append(linear(p + "self_attn.o_proj.weight"))
+        layers["post_norm"].append(get(p + "post_attention_layernorm.weight"))
+        layers["gate_up"].append(pack_tp(
+            [linear(p + "mlp.gate_proj.weight"),
+             linear(p + "mlp.up_proj.weight")], tp, axis=1))
+        layers["down"].append(linear(p + "mlp.down_proj.weight"))
+
+    params = {
+        "embed": _pad_vocab(get("model.embed_tokens.weight"), spec),
+        "layers": {k: np.stack(v) for k, v in layers.items()},
+        "final_norm": get("model.norm.weight"),
+    }
+    if not spec.tie_embeddings:
+        params["lm_head"] = _pad_vocab(get("lm_head.weight"), spec)
+    return params
+
+
+def init_random_params(seed: int, spec: ModelSpec, scale: float = 0.02) -> dict:
+    """Random-normal params with the same structure (bench / tests without a
+    checkpoint; throughput does not depend on weight values)."""
+    rng = np.random.default_rng(seed)
+    dt = _np_dtype(spec.dtype)
+    L, H, hd = spec.num_layers, spec.hidden_size, spec.head_dim
+    q_sz = spec.num_heads * hd
+    kv_sz = spec.num_kv_heads * hd
+    I, V = spec.intermediate_size, spec.vocab_padded
+
+    def w(*shape):
+        return (rng.standard_normal(shape, dtype=np.float32) * scale).astype(dt)
+
+    def ones(*shape):
+        return np.ones(shape, dtype=dt)
+
+    params = {
+        "embed": w(V, H),
+        "layers": {
+            "input_norm": ones(L, H),
+            "qkv": w(L, H, q_sz + 2 * kv_sz),
+            "q_norm": ones(L, hd),
+            "k_norm": ones(L, hd),
+            "o": w(L, q_sz, H),
+            "post_norm": ones(L, H),
+            "gate_up": w(L, H, 2 * I),
+            "down": w(L, I, H),
+        },
+        "final_norm": ones(H),
+    }
+    if not spec.tie_embeddings:
+        params["lm_head"] = w(V, H)
+    return params

@@ -1,15 +1,13 @@
 """Test configuration.
 
 Tests run on the JAX CPU backend with 8 virtual devices so multi-chip
-sharding (shard_map over a Mesh) is exercised without TPU hardware.  These
-env vars must be set before jax initializes, hence at conftest import time.
+sharding (shard_map over a Mesh) is exercised without TPU hardware.  The
+ambient environment pins JAX_PLATFORMS=axon (the TPU tunnel) and overrides
+plain env vars, so the backend is forced through jax.config before any
+backend initializes (conftest imports run before test modules).
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

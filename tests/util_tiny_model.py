@@ -1,0 +1,41 @@
+"""Generate a tiny random Qwen3 HF checkpoint for tests (no network needed)."""
+
+import os
+
+
+def make_tiny_qwen3(
+    dirpath: str,
+    *,
+    hidden=64,
+    layers=2,
+    heads=4,
+    kv_heads=2,
+    head_dim=16,
+    intermediate=96,
+    vocab=128,
+    max_pos=512,
+    tie=False,
+    seed=0,
+):
+    import torch
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Qwen3Config(
+        hidden_size=hidden,
+        num_hidden_layers=layers,
+        num_attention_heads=heads,
+        num_key_value_heads=kv_heads,
+        head_dim=head_dim,
+        intermediate_size=intermediate,
+        vocab_size=vocab,
+        max_position_embeddings=max_pos,
+        tie_word_embeddings=tie,
+        rope_theta=10000.0,
+        rms_norm_eps=1e-6,
+    )
+    model = Qwen3ForCausalLM(cfg)
+    model = model.eval()
+    os.makedirs(dirpath, exist_ok=True)
+    model.save_pretrained(dirpath, safe_serialization=True)
+    return cfg
