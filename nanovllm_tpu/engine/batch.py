@@ -6,11 +6,18 @@ compiles one executable per input shape, so batch shapes are padded to a
 small ladder of buckets — the bucket ladder *is* the CUDA-Graph equivalent,
 and it covers prefill shapes too (the reference only graphs decode).
 
+Token layout is *segmented* for the Pallas attention kernel
+(ops/attention.py): decode tokens (num_new == 1) first, one row each; then
+prefill chunks, each padded to a PREFILL_TILE boundary; then tail padding to
+the bucket.  The static triple (dec_end, p_start, p_end) describes the split
+and is part of the jit cache key.
+
 Padding conventions (reference model_runner.py:588-596 parity):
-  * token lanes: slot_mapping = -1 (KV write skipped), token id 0, position 0
-  * sequence lanes: kv_len 0, page_indices 0, cu_q_lens repeats the total so
-    padded tokens map to an empty pseudo-sequence
-  * logits_indices of padded lanes point at token 0 (result discarded on host)
+  * token lanes: slot_mapping = -1 (KV write skipped), token id 0; pad rows
+    inside a prefill chunk carry their sequence's lane index, gap/tail rows
+    carry lane 0 — all are masked or discarded downstream
+  * sequence lanes: kv_len 0, page_indices 0
+  * logits_indices of padded lanes point at row 0 (discarded on host)
 """
 
 from typing import NamedTuple
@@ -18,6 +25,7 @@ from typing import NamedTuple
 import numpy as np
 
 from nanovllm_tpu.engine.sequence import Sequence
+from nanovllm_tpu.ops.attention import PREFILL_TILE
 
 
 class StepBatch(NamedTuple):
@@ -30,10 +38,10 @@ class StepBatch(NamedTuple):
     token_ids: np.ndarray      # [T] int32
     positions: np.ndarray      # [T] int32
     slot_mapping: np.ndarray   # [T] int32, -1 = padding (no KV write)
-    cu_q_lens: np.ndarray      # [S+1] int32
+    token_seq: np.ndarray      # [T] int32 sequence lane of each row
     kv_lens: np.ndarray        # [S] int32, 0 = padded lane
     page_indices: np.ndarray   # [S, PAGES] int32
-    logits_indices: np.ndarray  # [S] int32 (token index of each lane's last token)
+    logits_indices: np.ndarray  # [S] int32 (row of each lane's last token)
     temperatures: np.ndarray   # [S] float32
 
 
@@ -45,66 +53,83 @@ def bucket(n: int, minimum: int = 8) -> int:
     return b
 
 
-def page_bucket(n: int, minimum: int = 8) -> int:
-    return bucket(n, minimum)
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
 
 
 def prepare_step_batch(
     seqs: list[Sequence],
     block_size: int,
-    max_pages_bucket: int | None = None,
-) -> tuple[StepBatch, list[int]]:
+) -> tuple[StepBatch, list[int], tuple[int, int, int]]:
     """Build the padded StepBatch for the scheduled sequences.
 
-    Returns (batch, sampled_seq_indices) where sampled_seq_indices lists the
-    positions in ``seqs`` whose scheduled chunk reaches the end of their
-    tokens — only those produce a sampled token this step (reference
-    model_runner.py:448-451).
+    Returns (batch, sampled_seq_indices, segments):
+      * sampled_seq_indices — positions in ``seqs`` whose scheduled chunk
+        reaches the end of their tokens; only those produce a sampled token
+        this step (reference model_runner.py:448-451).
+      * segments — static (dec_end, p_start, p_end) token-layout triple.
     """
-    num_tokens = sum(s.num_new_tokens for s in seqs)
-    t_pad = bucket(num_tokens)
+    decode_idx = [i for i, s in enumerate(seqs) if s.num_new_tokens == 1]
+    prefill_idx = [i for i, s in enumerate(seqs) if s.num_new_tokens != 1]
+
+    dec_end = len(decode_idx)
+    p_start = _round_up(dec_end, PREFILL_TILE) if prefill_idx else dec_end
+    p_end = p_start + sum(
+        _round_up(seqs[i].num_new_tokens, PREFILL_TILE) for i in prefill_idx
+    )
+    t_pad = bucket(max(p_end, 1))
     s_pad = bucket(len(seqs))
     max_pages = max(len(s.block_table) for s in seqs)
-    p_pad = max_pages_bucket or page_bucket(max_pages)
-    assert p_pad >= max_pages
+    p_pad = bucket(max_pages)
 
     token_ids = np.zeros(t_pad, dtype=np.int32)
     positions = np.zeros(t_pad, dtype=np.int32)
     slot_mapping = np.full(t_pad, -1, dtype=np.int32)
-    cu_q_lens = np.full(s_pad + 1, num_tokens, dtype=np.int32)
+    token_seq = np.zeros(t_pad, dtype=np.int32)
     kv_lens = np.zeros(s_pad, dtype=np.int32)
     page_indices = np.zeros((s_pad, p_pad), dtype=np.int32)
     logits_indices = np.zeros(s_pad, dtype=np.int32)
     temperatures = np.zeros(s_pad, dtype=np.float32)
 
     sampled: list[int] = []
-    t = 0
-    cu_q_lens[0] = 0
-    for i, seq in enumerate(seqs):
+
+    def fill(i: int, row0: int):
+        seq = seqs[i]
         n_new = seq.num_new_tokens
         start, end = seq.num_cached_tokens, seq.num_context_tokens
-        token_ids[t:t + n_new] = seq.token_ids[start:end]
+        sl = slice(row0, row0 + n_new)
+        token_ids[sl] = seq.token_ids[start:end]
         pos = np.arange(start, end, dtype=np.int32)
-        positions[t:t + n_new] = pos
+        positions[sl] = pos
         table = np.asarray(seq.block_table, dtype=np.int32)
-        slot_mapping[t:t + n_new] = table[pos // block_size] * block_size + pos % block_size
-        cu_q_lens[i + 1] = t + n_new
+        slot_mapping[sl] = table[pos // block_size] * block_size + pos % block_size
         kv_lens[i] = end
-        page_indices[i, :len(table)] = table
-        logits_indices[i] = t + n_new - 1
+        page_indices[i, : len(table)] = table
+        logits_indices[i] = row0 + n_new - 1
         temperatures[i] = seq.temperature
         if end == len(seq):
             sampled.append(i)
-        t += n_new
+
+    for row, i in enumerate(decode_idx):
+        fill(i, row)
+        token_seq[row] = i
+
+    row = p_start
+    for i in prefill_idx:
+        n_new = seqs[i].num_new_tokens
+        fill(i, row)
+        rows_padded = _round_up(n_new, PREFILL_TILE)
+        token_seq[row: row + rows_padded] = i  # pad rows inherit the lane
+        row += rows_padded
 
     batch = StepBatch(
         token_ids=token_ids,
         positions=positions,
         slot_mapping=slot_mapping,
-        cu_q_lens=cu_q_lens,
+        token_seq=token_seq,
         kv_lens=kv_lens,
         page_indices=page_indices,
         logits_indices=logits_indices,
         temperatures=temperatures,
     )
-    return batch, sampled
+    return batch, sampled, (dec_end, p_start, p_end)

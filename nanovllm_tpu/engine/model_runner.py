@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nanovllm_tpu.config import Config
-from nanovllm_tpu.engine.batch import StepBatch, page_bucket, prepare_step_batch
+from nanovllm_tpu.engine.batch import StepBatch, prepare_step_batch
 from nanovllm_tpu.engine.sequence import Sequence
 from nanovllm_tpu.models.qwen3 import ModelSpec, forward_and_sample
 from nanovllm_tpu.parallel.mesh import (
@@ -63,8 +63,6 @@ class ModelRunner:
         self._step = self._build_step()
         self._step_counter = 0
         self._base_key = jax.random.key(0)
-        # page-table width bucket grows monotonically to bound retraces
-        self._pages_bucket = 8
 
     # -- setup ---------------------------------------------------------------
 
@@ -90,8 +88,8 @@ class ModelRunner:
         return (
             s.num_layers,
             num_blocks,
-            self.config.kvcache_block_size,
             2 * s.num_kv_heads,
+            self.config.kvcache_block_size,
             s.head_dim,
         )
 
@@ -149,34 +147,39 @@ class ModelRunner:
         if spec.tie_embeddings:
             pspecs.pop("lm_head")
         batch_specs = StepBatch(*([P()] * len(StepBatch._fields)))
+        mesh = self.mesh
 
-        def local(params, kv_pages, batch, key):
-            return forward_and_sample(
-                params, kv_pages, batch, key, spec, TP_AXIS, attn_impl
+        @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(1,))
+        def step(params, kv_pages, batch, key, segments):
+            def local(params, kv_pages, batch, key):
+                return forward_and_sample(
+                    params, kv_pages, batch, key, spec, TP_AXIS, attn_impl,
+                    segments=segments,
+                )
+
+            fn = _shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(pspecs, kv_pspec(), batch_specs, P()),
+                out_specs=(P(), kv_pspec()),
+                check_vma=False,
             )
+            return fn(params, kv_pages, batch, key)
 
-        fn = _shard_map(
-            local,
-            mesh=self.mesh,
-            in_specs=(pspecs, kv_pspec(), batch_specs, P()),
-            out_specs=(P(), kv_pspec()),
-            check_vma=False,
-        )
-        return jax.jit(fn, donate_argnums=(1,))
+        return step
 
     # -- per-step execution ---------------------------------------------------
 
     def run(self, seqs: list[Sequence]) -> tuple[list[int], list[int]]:
         """Execute one step; returns (sampled token ids, sampled seq indices)."""
-        max_pages = max(len(s.block_table) for s in seqs)
-        while self._pages_bucket < max_pages:
-            self._pages_bucket *= 2
-        batch_np, sampled = prepare_step_batch(
-            seqs, self.config.kvcache_block_size, self._pages_bucket
+        batch_np, sampled, segments = prepare_step_batch(
+            seqs, self.config.kvcache_block_size
         )
         batch = jax.tree.map(jnp.asarray, batch_np)
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1
-        tokens_dev, self.kv_pages = self._step(self.params, self.kv_pages, batch, key)
+        tokens_dev, self.kv_pages = self._step(
+            self.params, self.kv_pages, batch, key, segments
+        )
         tokens = np.asarray(jax.device_get(tokens_dev))
         return [int(tokens[i]) for i in sampled], sampled

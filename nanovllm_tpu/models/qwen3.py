@@ -34,7 +34,7 @@ from jax import lax
 
 from nanovllm_tpu.layers.common import apply_rope, rms_norm, rope_cos_sin, silu_and_mul
 from nanovllm_tpu.layers.sampler import sample_local
-from nanovllm_tpu.ops.attention import ragged_paged_attention
+from nanovllm_tpu.ops.attention import paged_attention
 from nanovllm_tpu.ops.kv_cache import write_kv_pages
 
 
@@ -131,7 +131,8 @@ def embed_lookup(embed_l, token_ids, spec: ModelSpec, axis_name):
     return _maybe_psum(x, axis_name)
 
 
-def decoder_layer(x, layer_params, kv_pages_l, batch, cos, sin, spec: ModelSpec, axis_name, attn_impl):
+def decoder_layer(x, layer_params, kv_pages_l, batch, cos, sin, segments,
+                  spec: ModelSpec, axis_name, attn_impl):
     """One pre-norm decoder layer on local shards (reference qwen3.py:278-377)."""
     t = x.shape[0]
     lp = layer_params
@@ -150,8 +151,9 @@ def decoder_layer(x, layer_params, kv_pages_l, batch, cos, sin, spec: ModelSpec,
     k = apply_rope(k, cos, sin)
 
     kv_pages_l = write_kv_pages(kv_pages_l, k, v, batch.slot_mapping)
-    o = ragged_paged_attention(
-        q, kv_pages_l, batch.kv_lens, batch.page_indices, batch.cu_q_lens,
+    o = paged_attention(
+        q, kv_pages_l, batch.kv_lens, batch.page_indices,
+        batch.token_seq, batch.positions, segments,
         sm_scale=spec.sm_scale, impl=attn_impl,
     )
     o = o.reshape(t, spec.q_size_l) @ lp["o"]             # [T, H]
@@ -165,7 +167,7 @@ def decoder_layer(x, layer_params, kv_pages_l, batch, cos, sin, spec: ModelSpec,
     return x, kv_pages_l
 
 
-def forward_local(params, kv_pages, batch, spec: ModelSpec, axis_name, attn_impl):
+def forward_local(params, kv_pages, batch, segments, spec: ModelSpec, axis_name, attn_impl):
     """Full forward on local shards: embed -> scan(layers) -> final norm.
 
     Returns (hidden [T, H], new_kv_pages [L, ...]).
@@ -175,7 +177,9 @@ def forward_local(params, kv_pages, batch, spec: ModelSpec, axis_name, attn_impl
 
     def body(h, xs):
         lp, pages_l = xs
-        h, new_pages = decoder_layer(h, lp, pages_l, batch, cos, sin, spec, axis_name, attn_impl)
+        h, new_pages = decoder_layer(
+            h, lp, pages_l, batch, cos, sin, segments, spec, axis_name, attn_impl
+        )
         return h, new_pages
 
     x, new_kv_pages = lax.scan(body, x, (params["layers"], kv_pages))
@@ -191,14 +195,19 @@ def compute_logits_local(params, hidden_sel, spec: ModelSpec):
     )
 
 
-def forward_and_sample(params, kv_pages, batch, key, spec: ModelSpec, axis_name, attn_impl):
+def forward_and_sample(params, kv_pages, batch, key, spec: ModelSpec, axis_name,
+                       attn_impl, segments=(0, 0, 0)):
     """The jitted per-step body (run under shard_map when tp > 1).
 
-    Returns (sampled token ids [S], new kv_pages).  Tokens are computed for
-    every padded sequence slot; the host keeps only the slots that were fully
-    scheduled this step (reference model_runner.py:448-451 semantics).
+    ``segments`` is the static (dec_end, p_start, p_end) token-layout triple
+    (see ops/attention.py).  Returns (sampled token ids [S], new kv_pages).
+    Tokens are computed for every padded sequence slot; the host keeps only
+    the slots that were fully scheduled this step (reference
+    model_runner.py:448-451 semantics).
     """
-    hidden, new_kv_pages = forward_local(params, kv_pages, batch, spec, axis_name, attn_impl)
+    hidden, new_kv_pages = forward_local(
+        params, kv_pages, batch, segments, spec, axis_name, attn_impl
+    )
     sel = jnp.take(hidden, batch.logits_indices, axis=0)   # [S, H]
     logits = compute_logits_local(params, sel, spec)       # [S, V_l]
     shard = lax.axis_index(axis_name) if axis_name else 0

@@ -1,68 +1,69 @@
 """Ragged paged attention over a block-table KV cache.
 
 TPU-native replacement for the reference's FlashAttention-2 calls
-(reference attention.py:222-248): one op covers mixed chunked-prefill and
-decode in a single ragged batch, reading K/V through per-sequence page
+(reference attention.py:222-248): one logical op covers mixed chunked-prefill
+and decode in a single ragged batch, reading K/V through per-sequence page
 tables — the same contract as ``flash_attn_varlen_func(block_table=...)``.
 
+Token layout (built by engine/batch.py): the step's token axis is split into
+two *segments*, described by the static triple ``(dec_end, p_start, p_end)``:
+
+  rows [0, dec_end)        decode tokens, one row per decoding sequence
+  rows [dec_end, p_start)  inert padding (alignment gap)
+  rows [p_start, p_end)    prefill chunks, each sequence's rows padded to a
+                           PREFILL_TILE boundary
+  rows [p_end, T)          inert tail padding to the bucket size
+
+Per-token metadata makes the layout self-describing for any backend:
+  token_seq [T]  sequence lane index of each row
+  positions [T]  absolute position of the token within its sequence
+
 Backends:
-  * ``ref``    — pure-jnp reference implementation (correct on any backend;
-                 O(T * max_ctx) memory, used on CPU and as the test oracle).
-  * ``pallas`` — our Pallas kernel (ops/ragged_paged_attention.py), the
-                 production path on TPU.
-
-Inputs follow the vLLM-v1-style metadata (SURVEY.md §3.2):
-  q            [T, n_heads, head_dim] — all scheduled tokens, ragged-concat
-  kv_pages     [P, page_size, 2*kv_heads, head_dim] (interleaved K/V per head)
-  kv_lens      [S] context length per sequence *after* this step's KV write
-  page_indices [S, pages_per_seq] block table (padding entries must point at
-               a valid page; they are masked via kv_lens)
-  cu_q_lens    [S+1] cumulative query lengths; padding repeats the total
+  * ``ref``    — pure-jnp (any backend; O(T * max_ctx) memory; test oracle)
+  * ``pallas`` — our kernel (ops/ragged_paged_attention.py): q_tile=1 over the
+    decode segment (no row inflation — decode linears stay weight-bound),
+    q_tile=PREFILL_TILE over the prefill segment (MXU-sized tiles).
 """
-
-import functools
 
 import jax
 import jax.numpy as jnp
 
 MASK_VALUE = -1e30  # finite: keeps fully-masked (padding) rows NaN-free
 
+PREFILL_TILE = 128
+
 
 def ragged_paged_attention_ref(
-    q: jnp.ndarray,
-    kv_pages: jnp.ndarray,
-    kv_lens: jnp.ndarray,
-    page_indices: jnp.ndarray,
-    cu_q_lens: jnp.ndarray,
+    q: jnp.ndarray,            # [T, nh, hd]
+    kv_pages: jnp.ndarray,     # [P, 2*kvh, page, hd]
+    page_indices: jnp.ndarray,  # [S, PPS]
+    token_seq: jnp.ndarray,    # [T]
+    positions: jnp.ndarray,    # [T]
     *,
     sm_scale: float,
 ) -> jnp.ndarray:
     t, nh, hd = q.shape
-    _, page_size, kvh2, _ = kv_pages.shape
+    _, kvh2, page_size, _ = kv_pages.shape
     kvh = kvh2 // 2
     s, pages_per_seq = page_indices.shape
     ctx = pages_per_seq * page_size
 
-    kv = kv_pages[page_indices]                       # [S, PPS, page, 2kvh, hd]
-    kv = kv.reshape(s, ctx, kvh, 2, hd)
-    k, v = kv[:, :, :, 0, :], kv[:, :, :, 1, :]       # [S, C, kvh, hd]
+    kv = kv_pages[page_indices]                       # [S, PPS, 2kvh, page, hd]
+    kv = kv.reshape(s, pages_per_seq, kvh, 2, page_size, hd)
+    k = kv[:, :, :, 0].transpose(0, 1, 3, 2, 4).reshape(s, ctx, kvh, hd)
+    v = kv[:, :, :, 1].transpose(0, 1, 3, 2, 4).reshape(s, ctx, kvh, hd)
 
-    tok = jnp.arange(t, dtype=jnp.int32)
-    tsid = jnp.searchsorted(cu_q_lens[1:], tok, side="right").astype(jnp.int32)
-    tsid = jnp.clip(tsid, 0, s - 1)
-    q_pos = tok - cu_q_lens[tsid]                     # position within own query chunk
-    q_len = cu_q_lens[tsid + 1] - cu_q_lens[tsid]
-    kv_len = kv_lens[tsid]
-
+    tsid = jnp.clip(token_seq, 0, s - 1)
     k_t = k[tsid]                                     # [T, C, kvh, hd]
     v_t = v[tsid]
     group = nh // kvh
     qg = q.reshape(t, kvh, group, hd).astype(jnp.float32)
     scores = jnp.einsum("tkgd,tckd->tkgc", qg, k_t.astype(jnp.float32)) * sm_scale
 
-    # causal visibility: token sees kv slots [0, kv_len - q_len + q_pos + 1)
-    visible_upto = kv_len - q_len + q_pos + 1         # [T]
-    visible = jnp.arange(ctx, dtype=jnp.int32)[None, :] < visible_upto[:, None]
+    # causal visibility: a token at absolute position p sees kv slots [0, p+1)
+    visible = (
+        jnp.arange(ctx, dtype=jnp.int32)[None, :] < (positions + 1)[:, None]
+    )
     scores = jnp.where(visible[:, None, None, :], scores, MASK_VALUE)
 
     p = jax.nn.softmax(scores, axis=-1)
@@ -70,17 +71,44 @@ def ragged_paged_attention_ref(
     return out.reshape(t, nh, hd).astype(q.dtype)
 
 
-def ragged_paged_attention(
-    q, kv_pages, kv_lens, page_indices, cu_q_lens, *, sm_scale, impl="ref"
+def paged_attention(
+    q,
+    kv_pages,
+    kv_lens,
+    page_indices,
+    token_seq,
+    positions,
+    segments: tuple[int, int, int],
+    *,
+    sm_scale: float,
+    impl: str = "ref",
 ):
+    """Dispatch over the segmented layout; returns [T, nh, hd]."""
     if impl == "ref":
         return ragged_paged_attention_ref(
-            q, kv_pages, kv_lens, page_indices, cu_q_lens, sm_scale=sm_scale
+            q, kv_pages, page_indices, token_seq, positions, sm_scale=sm_scale
         )
-    if impl == "pallas":
-        from nanovllm_tpu.ops.ragged_paged_attention import ragged_paged_attention_pallas
+    if impl != "pallas":
+        raise ValueError(f"unknown attention impl: {impl}")
 
-        return ragged_paged_attention_pallas(
-            q, kv_pages, kv_lens, page_indices, cu_q_lens, sm_scale=sm_scale
+    from nanovllm_tpu.ops.ragged_paged_attention import ragged_paged_attention_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    dec_end, p_start, p_end = segments
+    out = jnp.zeros_like(q)
+    if dec_end > 0:
+        dec = ragged_paged_attention_pallas(
+            q[:dec_end], kv_pages, kv_lens, page_indices,
+            token_seq[:dec_end], positions[:dec_end],
+            sm_scale=sm_scale, q_tile=1, interpret=interpret,
         )
-    raise ValueError(f"unknown attention impl: {impl}")
+        out = out.at[:dec_end].set(dec)
+    if p_end > p_start:
+        pre = ragged_paged_attention_pallas(
+            q[p_start:p_end], kv_pages, kv_lens, page_indices,
+            token_seq[p_start:p_end:PREFILL_TILE],
+            positions[p_start:p_end:PREFILL_TILE],
+            sm_scale=sm_scale, q_tile=PREFILL_TILE, interpret=interpret,
+        )
+        out = out.at[p_start:p_end].set(pre)
+    return out

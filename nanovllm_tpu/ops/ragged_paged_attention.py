@@ -1,0 +1,189 @@
+"""Pallas TPU kernel: ragged paged attention (mixed prefill + decode).
+
+Our Pallas replacement for the reference's FlashAttention-2 CUDA calls
+(reference attention.py:222-248).  Design:
+
+  * **One seq per query tile.**  The host lays out query tokens so every
+    Q_TILE-row tile belongs to exactly one sequence (tokens scattered to
+    tile-aligned rows; see engine/batch.py tile metadata).  Decode steps use a
+    small Q_TILE (8), prefill/mixed steps a large one (128) — tile size is a
+    static bucket parameter, so each mode compiles once.
+  * **Grid = (num_tiles, max_pages).**  The page axis walks the sequence's
+    block table; the KV page for step (t, p) is DMA'd by the BlockSpec
+    index_map reading the scalar-prefetched page table
+    (``page_indices[tile_seq[t], p]``) — the classic TPU paged-attention
+    pattern, giving automatic double-buffering of page fetches.
+  * **Flash-style online softmax** in fp32 scratch across the page axis
+    (m/l/acc), GQA packed as [kvh, Q_TILE * group, hd] so the per-kv-head
+    matmuls hit the MXU with batched dot_general.
+  * Pages past a sequence's ``kv_len`` are skipped with ``@pl.when`` (their
+    index_map clamps to the table's padding entry, page 0).
+
+KV cache layout: [num_pages, 2*kvh, page_size, hd], K/V interleaved on the
+leading head axis so K and V slice off a loaded page without lane shuffles.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -1e30
+
+
+def _attn_kernel(
+    # scalar prefetch
+    tile_seq_ref,    # [NT] int32: sequence id per query tile
+    tile_kvpos_ref,  # [NT] int32: kv position of the tile's first query token
+    kv_lens_ref,     # [S] int32
+    page_indices_ref,  # [S, PPS] int32
+    # inputs
+    q_ref,           # [1, kvh, QG, hd]  (QG = Q_TILE * group)
+    kv_ref,          # [1, 2*kvh, page, hd] — the page chosen by index_map
+    # outputs
+    out_ref,         # [1, kvh, QG, hd]
+    # scratch
+    m_ref,           # [kvh, QG, 128] f32 running max (lane-broadcast)
+    l_ref,           # [kvh, QG, 128] f32 running denom
+    acc_ref,         # [kvh, QG, hd] f32
+    *,
+    sm_scale: float,
+    page_size: int,
+    group: int,
+    q_tile: int,
+):
+    t = pl.program_id(0)
+    b = pl.program_id(1)
+    seq = tile_seq_ref[t]
+    kv_len = kv_lens_ref[seq]
+    num_blocks = pl.cdiv(kv_len, page_size)
+
+    @pl.when(b == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(b < num_blocks)
+    def _compute():
+        q = q_ref[0]                                   # [kvh, QG, hd]
+        kv = kv_ref[0]                                 # [2kvh, page, hd]
+        kvh = q.shape[0]
+        kv = kv.reshape(kvh, 2, page_size, kv.shape[-1])
+        k = kv[:, 0]                                   # [kvh, page, hd]
+        v = kv[:, 1]
+
+        scores = lax.dot_general(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale                                   # [kvh, QG, page]
+
+        # causal visibility: row r belongs to query token r // group whose kv
+        # extent is tile_kvpos + r//group + 1; also clip to kv_len.
+        qg = scores.shape[1]
+        row_tok = lax.broadcasted_iota(jnp.int32, (qg, page_size), 0) // group
+        col = lax.broadcasted_iota(jnp.int32, (qg, page_size), 1) + b * page_size
+        limit = jnp.minimum(tile_kvpos_ref[t] + row_tok + 1, kv_len)
+        mask = col < limit                             # [QG, page]
+        scores = jnp.where(mask[None, :, :], scores, MASK_VALUE)
+
+        m_prev = m_ref[:, :, 0]                        # [kvh, QG]
+        m_cur = jnp.max(scores, axis=-1)               # [kvh, QG]
+        m_new = jnp.maximum(m_prev, m_cur)
+        # guard: fully-masked tiles keep m at -inf; exp(-inf - -inf) -> use 0
+        alpha = jnp.where(
+            m_prev == -jnp.inf, 0.0, jnp.exp(m_prev - m_new)
+        )                                              # [kvh, QG]
+        p = jnp.exp(scores - m_new[:, :, None])        # [kvh, QG, page]
+        p = jnp.where(mask[None, :, :], p, 0.0)
+
+        l_prev = l_ref[:, :, 0]
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+        pv = lax.dot_general(
+            p, v.astype(jnp.float32),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                              # [kvh, QG, hd]
+        acc_ref[...] = acc_ref[...] * alpha[:, :, None] + pv
+        m_ref[...] = jnp.broadcast_to(m_new[:, :, None], m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new[:, :, None], l_ref.shape)
+
+    @pl.when(b == num_blocks - 1)
+    def _finalize():
+        l = l_ref[:, :, 0]
+        denom = jnp.where(l == 0.0, 1.0, l)            # padding rows: avoid NaN
+        out_ref[0] = (acc_ref[...] / denom[:, :, None]).astype(out_ref.dtype)
+
+
+def ragged_paged_attention_pallas(
+    q: jnp.ndarray,             # [T, nh, hd] (T = NT * q_tile, tile-aligned)
+    kv_pages: jnp.ndarray,      # [P, 2*kvh, page, hd]
+    kv_lens: jnp.ndarray,       # [S]
+    page_indices: jnp.ndarray,  # [S, PPS]
+    tile_seq: jnp.ndarray,      # [NT]
+    tile_kvpos: jnp.ndarray,    # [NT]
+    *,
+    sm_scale: float,
+    q_tile: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    t, nh, hd = q.shape
+    num_pages, kvh2, page_size, _ = kv_pages.shape
+    kvh = kvh2 // 2
+    group = nh // kvh
+    nt = t // q_tile
+    assert nt * q_tile == t, "query rows must be tile-aligned"
+    qg = q_tile * group
+    s, pps = page_indices.shape
+
+    # [T, nh, hd] -> [NT, kvh, QG, hd]: rows of one tile grouped per kv head
+    qk = q.reshape(nt, q_tile, kvh, group, hd)
+    qk = qk.transpose(0, 2, 1, 3, 4).reshape(nt, kvh, qg, hd)
+
+    grid = (nt, pps)
+
+    def q_map(ti, bi, *_refs):
+        return (ti, 0, 0, 0)
+
+    def kv_map(ti, bi, tile_seq_ref, tile_kvpos_ref, kv_lens_ref, page_indices_ref):
+        return (page_indices_ref[tile_seq_ref[ti], bi], 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, kvh, qg, hd), q_map),
+            pl.BlockSpec((1, kvh2, page_size, hd), kv_map),
+        ],
+        out_specs=pl.BlockSpec((1, kvh, qg, hd), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((kvh, qg, 128), jnp.float32),
+            pltpu.VMEM((kvh, qg, 128), jnp.float32),
+            pltpu.VMEM((kvh, qg, hd), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _attn_kernel,
+        sm_scale=sm_scale,
+        page_size=page_size,
+        group=group,
+        q_tile=q_tile,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nt, kvh, qg, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(tile_seq, tile_kvpos, kv_lens, page_indices, qk, kv_pages)
+
+    # [NT, kvh, QG, hd] -> [T, nh, hd]
+    out = out.reshape(nt, kvh, q_tile, group, hd).transpose(0, 2, 1, 3, 4)
+    return out.reshape(t, nh, hd)

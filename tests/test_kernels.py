@@ -1,0 +1,192 @@
+"""Pallas-kernel vs jnp-reference equivalence tests (interpret mode on CPU).
+
+Covers the ragged paged attention kernel (decode q_tile=1, prefill tiles,
+mixed segments, GQA grouping, ragged kv lengths, page-table indirection) and
+the KV-write scatter's -1-slot drop semantics.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nanovllm_tpu.ops.attention import (
+    PREFILL_TILE,
+    paged_attention,
+    ragged_paged_attention_ref,
+)
+from nanovllm_tpu.ops.kv_cache import split_kv_pages, write_kv_pages
+from nanovllm_tpu.ops.ragged_paged_attention import ragged_paged_attention_pallas
+
+PAGE = 16
+
+
+def rand_cache(rng, num_pages, kvh, hd):
+    return jnp.asarray(
+        rng.standard_normal((num_pages, 2 * kvh, PAGE, hd), dtype=np.float32)
+    )
+
+
+def build_case(rng, kv_lens_list, q_lens_list, nh, kvh, hd, num_pages=32):
+    """Random case: per-seq kv lens + query lens; returns everything both
+    impls need.  Block tables use distinct shuffled pages (indirection test)."""
+    s = len(kv_lens_list)
+    max_pages = max((k + PAGE - 1) // PAGE for k in kv_lens_list)
+    perm = rng.permutation(num_pages)
+    page_indices = np.zeros((s, max_pages), np.int32)
+    pi = 0
+    for i, klen in enumerate(kv_lens_list):
+        n = (klen + PAGE - 1) // PAGE
+        page_indices[i, :n] = perm[pi:pi + n]
+        pi += n
+    kv_pages = rand_cache(rng, num_pages, kvh, hd)
+    # token rows: one row per query token, seq-major
+    t = sum(q_lens_list)
+    q = jnp.asarray(rng.standard_normal((t, nh, hd), dtype=np.float32))
+    token_seq = np.concatenate(
+        [np.full(ql, i, np.int32) for i, ql in enumerate(q_lens_list)]
+    )
+    positions = np.concatenate(
+        [np.arange(k - ql, k, dtype=np.int32)
+         for k, ql in zip(kv_lens_list, q_lens_list)]
+    )
+    return (
+        q,
+        kv_pages,
+        jnp.asarray(kv_lens_list, jnp.int32),
+        jnp.asarray(page_indices),
+        jnp.asarray(token_seq),
+        jnp.asarray(positions),
+    )
+
+
+def run_both_decode(case, sm_scale=0.25):
+    q, kv_pages, kv_lens, page_indices, token_seq, positions = case
+    ours = ragged_paged_attention_pallas(
+        q, kv_pages, kv_lens, page_indices, token_seq, positions,
+        sm_scale=sm_scale, q_tile=1, interpret=True,
+    )
+    ref = ragged_paged_attention_ref(
+        q, kv_pages, page_indices, token_seq, positions, sm_scale=sm_scale
+    )
+    return np.asarray(ours), np.asarray(ref)
+
+
+class TestDecodeKernel:
+    def test_single_seq_single_page(self):
+        rng = np.random.default_rng(0)
+        case = build_case(rng, [7], [1], nh=4, kvh=2, hd=32)
+        ours, ref = run_both_decode(case)
+        np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-5)
+
+    def test_many_seqs_ragged_ctx(self):
+        rng = np.random.default_rng(1)
+        kv = [1, 5, 16, 17, 33, 48, 40, 9]
+        case = build_case(rng, kv, [1] * len(kv), nh=8, kvh=4, hd=32)
+        ours, ref = run_both_decode(case)
+        np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-5)
+
+    def test_mha_group1(self):
+        rng = np.random.default_rng(2)
+        case = build_case(rng, [20, 31], [1, 1], nh=4, kvh=4, hd=16)
+        ours, ref = run_both_decode(case)
+        np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-5)
+
+
+class TestPrefillKernel:
+    def test_full_prefill_causal(self):
+        rng = np.random.default_rng(3)
+        ql = 40  # spans 3 tiles of 16? PREFILL_TILE=128 -> pad inside one tile
+        case = build_case(rng, [ql], [ql], nh=4, kvh=2, hd=32)
+        q, kv_pages, kv_lens, page_indices, token_seq, positions = case
+        # pad rows up to the tile boundary
+        t_pad = ((ql + PREFILL_TILE - 1) // PREFILL_TILE) * PREFILL_TILE
+        qp = jnp.zeros((t_pad,) + q.shape[1:], q.dtype).at[:ql].set(q)
+        ts = jnp.zeros(t_pad, jnp.int32).at[:ql].set(token_seq)
+        pos = jnp.zeros(t_pad, jnp.int32).at[:ql].set(positions)
+        ours = ragged_paged_attention_pallas(
+            qp, kv_pages, kv_lens, page_indices,
+            ts[::PREFILL_TILE], pos[::PREFILL_TILE],
+            sm_scale=0.25, q_tile=PREFILL_TILE, interpret=True,
+        )
+        ref = ragged_paged_attention_ref(
+            q, kv_pages, page_indices, token_seq, positions, sm_scale=0.25
+        )
+        np.testing.assert_allclose(np.asarray(ours)[:ql], np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_chunked_prefill_with_cached_prefix(self):
+        """Queries attend a longer kv context (prior chunks already cached)."""
+        rng = np.random.default_rng(4)
+        kv_len, q_len = 50, 10  # positions 40..49
+        case = build_case(rng, [kv_len], [q_len], nh=4, kvh=2, hd=32)
+        q, kv_pages, kv_lens, page_indices, token_seq, positions = case
+        t_pad = PREFILL_TILE
+        qp = jnp.zeros((t_pad,) + q.shape[1:], q.dtype).at[:q_len].set(q)
+        ts = jnp.zeros(t_pad, jnp.int32).at[:q_len].set(token_seq)
+        pos = jnp.zeros(t_pad, jnp.int32).at[:q_len].set(positions)
+        ours = ragged_paged_attention_pallas(
+            qp, kv_pages, kv_lens, page_indices,
+            ts[::PREFILL_TILE], pos[::PREFILL_TILE],
+            sm_scale=0.25, q_tile=PREFILL_TILE, interpret=True,
+        )
+        ref = ragged_paged_attention_ref(
+            q, kv_pages, page_indices, token_seq, positions, sm_scale=0.25
+        )
+        np.testing.assert_allclose(np.asarray(ours)[:q_len], np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+class TestSegmentedDispatch:
+    def test_mixed_decode_plus_prefill(self):
+        """Full paged_attention dispatch over a segmented layout must match
+        the ref backend row-for-row on real rows."""
+        rng = np.random.default_rng(5)
+        # 3 decodes + one 20-token prefill chunk
+        kv_lens_list = [9, 17, 30, 20]
+        q_lens_list = [1, 1, 1, 20]
+        case = build_case(rng, kv_lens_list, q_lens_list, nh=4, kvh=2, hd=32)
+        q, kv_pages, kv_lens, page_indices, token_seq, positions = case
+
+        dec_end, p_start = 3, PREFILL_TILE
+        p_end = p_start + PREFILL_TILE
+        t_pad = p_end
+        qp = jnp.zeros((t_pad,) + q.shape[1:], q.dtype)
+        qp = qp.at[:3].set(q[:3]).at[p_start:p_start + 20].set(q[3:])
+        ts = jnp.zeros(t_pad, jnp.int32)
+        ts = ts.at[:3].set(token_seq[:3]).at[p_start:p_end].set(3)
+        pos = jnp.zeros(t_pad, jnp.int32)
+        pos = pos.at[:3].set(positions[:3]).at[p_start:p_start + 20].set(positions[3:])
+
+        ours = paged_attention(
+            qp, kv_pages, kv_lens, page_indices, ts, pos,
+            (dec_end, p_start, p_end), sm_scale=0.25, impl="pallas",
+        )
+        ref = ragged_paged_attention_ref(
+            q, kv_pages, page_indices, token_seq, positions, sm_scale=0.25
+        )
+        ours = np.asarray(ours)
+        np.testing.assert_allclose(ours[:3], np.asarray(ref)[:3], rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(
+            ours[p_start:p_start + 20], np.asarray(ref)[3:], rtol=2e-5, atol=2e-5
+        )
+        # gap rows untouched (zeros)
+        assert np.all(ours[3:p_start] == 0)
+
+
+class TestKVWrite:
+    def test_scatter_and_drop(self):
+        kvh, hd = 2, 8
+        pages = jnp.zeros((4, 2 * kvh, PAGE, hd), jnp.float32)
+        k = jnp.ones((3, kvh, hd)) * jnp.asarray([1.0, 2.0, 3.0])[:, None, None]
+        v = -k
+        slots = jnp.asarray([0, PAGE + 2, -1], jnp.int32)  # third is padding
+        out = write_kv_pages(pages, k, v, slots)
+        kk, vv = split_kv_pages(out)
+        assert float(kk[0, 0, 0, 0]) == 1.0 and float(vv[0, 0, 0, 0]) == -1.0
+        assert float(kk[1, 1, 2, 3]) == 2.0 and float(vv[1, 1, 2, 3]) == -2.0
+        # dropped slot wrote nothing anywhere
+        total = float(jnp.sum(jnp.abs(out)))
+        expected = float(jnp.sum(jnp.abs(k[:2]))) + float(jnp.sum(jnp.abs(v[:2])))
+        assert abs(total - expected) < 1e-6

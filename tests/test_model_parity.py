@@ -51,7 +51,7 @@ def make_batch(token_ids, start_pos, kv_len, num_pages, t_pad=None, temperature=
         token_ids=jnp.asarray(tok),
         positions=jnp.asarray(pos),
         slot_mapping=jnp.asarray(slots),
-        cu_q_lens=jnp.asarray([0, n], np.int32),
+        token_seq=jnp.zeros(t_pad, jnp.int32),
         kv_lens=jnp.asarray([kv_len], np.int32),
         page_indices=jnp.arange(num_pages, dtype=jnp.int32)[None, :],
         logits_indices=jnp.asarray([n - 1], np.int32),
@@ -67,19 +67,19 @@ def run_ours(path, cfg, prompt, decode_tokens=()):
     params = jax.tree.map(jnp.asarray, params)
     num_pages = 8
     kv_pages = jnp.zeros(
-        (spec.num_layers, num_pages, BLOCK, 2 * spec.num_kv_heads, spec.head_dim),
+        (spec.num_layers, num_pages, 2 * spec.num_kv_heads, BLOCK, spec.head_dim),
         jnp.float32,
     )
     rows = []
 
     batch = make_batch(prompt, 0, len(prompt), num_pages)
-    hidden, kv_pages = forward_local(params, kv_pages, batch, spec, None, "ref")
+    hidden, kv_pages = forward_local(params, kv_pages, batch, (0, 0, 0), spec, None, "ref")
     rows.append(compute_logits_local(params, hidden[: len(prompt)], spec))
 
     n = len(prompt)
     for tok in decode_tokens:
         batch = make_batch([tok], n, n + 1, num_pages)
-        hidden, kv_pages = forward_local(params, kv_pages, batch, spec, None, "ref")
+        hidden, kv_pages = forward_local(params, kv_pages, batch, (0, 0, 0), spec, None, "ref")
         rows.append(compute_logits_local(params, hidden[:1], spec))
         n += 1
     return rows
@@ -111,11 +111,11 @@ def test_padded_tokens_do_not_corrupt_state(tiny_ckpt):
     prompt = [3, 17, 99, 5, 42]
     spec = ModelSpec.from_hf(cfg, tp_size=1, dtype="float32")
     params = jax.tree.map(jnp.asarray, load_qwen3_params(path, spec))
-    kv = jnp.zeros((spec.num_layers, 8, BLOCK, 2 * spec.num_kv_heads, spec.head_dim), jnp.float32)
+    kv = jnp.zeros((spec.num_layers, 8, 2 * spec.num_kv_heads, BLOCK, spec.head_dim), jnp.float32)
 
     exact = make_batch(prompt, 0, len(prompt), 8)
-    h1, kv1 = forward_local(params, kv, exact, spec, None, "ref")
+    h1, kv1 = forward_local(params, kv, exact, (0, 0, 0), spec, None, "ref")
     padded = make_batch(prompt, 0, len(prompt), 8, t_pad=16)
-    h2, kv2 = forward_local(params, kv, padded, spec, None, "ref")
+    h2, kv2 = forward_local(params, kv, padded, (0, 0, 0), spec, None, "ref")
     np.testing.assert_allclose(np.asarray(h1[:5]), np.asarray(h2[:5]), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(kv1), np.asarray(kv2), rtol=0, atol=0)
