@@ -1,0 +1,99 @@
+"""Offline throughput benchmark (port of the reference bench.py trace).
+
+Same workload shape as the reference (reference bench.py:8-28): N sequences,
+random prompt lengths in [100, max_input_len], random output lengths in
+[100, max_output_len], temperature 0.6, ignore_eos.  No checkpoints exist on
+this machine (zero egress), so weights are randomly initialized at the
+flagship Qwen3-0.6B geometry (BASELINE.json config 1) — throughput does not
+depend on weight values.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is null because the reference publishes no numbers
+(BASELINE.md: "self-baseline").
+
+Env knobs: NVT_NUM_SEQS, NVT_MAX_IN, NVT_MAX_OUT, NVT_LAYERS, NVT_TP.
+"""
+
+import json
+import os
+import random
+import sys
+import time
+
+
+def getenv_int(name, default):
+    return int(os.environ.get(name, default))
+
+
+def main():
+    import jax
+
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from __graft_entry__ import QWEN3_0_6B, _hf_cfg
+    from nanovllm_tpu import LLM, SamplingParams
+
+    random.seed(0)
+    num_seqs = getenv_int("NVT_NUM_SEQS", 256)
+    max_in = getenv_int("NVT_MAX_IN", 1024)
+    max_out = getenv_int("NVT_MAX_OUT", 1024)
+    layers = getenv_int("NVT_LAYERS", QWEN3_0_6B["layers"])
+    tp = getenv_int("NVT_TP", 1)
+
+    geom = dict(QWEN3_0_6B, layers=layers)
+    hf = _hf_cfg(**geom)
+    llm = LLM(
+        hf_config=hf,
+        random_weights=True,
+        dtype="bfloat16",
+        tensor_parallel_size=tp,
+        max_model_len=4096,
+        max_num_batched_tokens=2048,
+        max_num_seqs=min(num_seqs, 256),
+        kvcache_block_size=256,
+        attention_impl="pallas" if jax.default_backend() == "tpu" else "ref",
+    )
+
+    prompts = [
+        [random.randint(0, 10000) for _ in range(random.randint(100, max_in))]
+        for _ in range(num_seqs)
+    ]
+    sampling_params = [
+        SamplingParams(
+            temperature=0.6, ignore_eos=True,
+            max_tokens=random.randint(100, max_out),
+        )
+        for _ in range(num_seqs)
+    ]
+
+    # warmup: trigger the main shape buckets before timing
+    llm.generate(
+        [[random.randint(0, 10000) for _ in range(128)] for _ in range(4)],
+        SamplingParams(temperature=0.6, ignore_eos=True, max_tokens=8),
+        use_tqdm=False,
+    )
+
+    t0 = time.time()
+    llm.generate(prompts, sampling_params, use_tqdm=False)
+    dt = time.time() - t0
+    total_out = sum(sp.max_tokens for sp in sampling_params)
+    throughput = total_out / dt
+
+    stats = llm.scheduler.stats
+    print(
+        f"# total={total_out}tok time={dt:.2f}s steps={stats.num_steps} "
+        f"preempted={stats.num_preempted} prefix_cached={stats.num_prefix_cached_tokens}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "offline_throughput_qwen3_0.6b_bf16",
+        "value": round(throughput, 2),
+        "unit": "tok/s",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,7 +44,12 @@ class Config:
     hf_config: Any = field(default=None, repr=False)
     # Initialize weights randomly instead of loading safetensors (bench mode).
     random_weights: bool = False
-    # Upper bound on tokens in one jitted step; buckets never exceed it.
+    # Decode burst: when every running sequence is decoding and nothing is
+    # waiting, run up to this many decode steps in ONE device program per
+    # host round-trip (0 disables).  This is the TPU-native answer to the
+    # reference's CUDA-Graph decode replay (model_runner.py:640-715) plus the
+    # host-overhead amortization a single-controller design needs.
+    decode_burst: int = 8
     decode_logprobs: bool = False
 
     def __post_init__(self):

@@ -45,6 +45,42 @@ class StepBatch(NamedTuple):
     temperatures: np.ndarray   # [S] float32
 
 
+class PackedBatch(NamedTuple):
+    """StepBatch packed into 4 transfer buffers.
+
+    Host->device copies over a tunneled PJRT backend pay a per-array RPC
+    cost (~5 ms each measured), so the 8 logical StepBatch fields travel as 4
+    arrays and are re-sliced on device (free under jit).  The reference's
+    analogue is its 7 pinned async H2D copies (model_runner.py:486-492).
+    """
+
+    tok: np.ndarray    # [4, T] int32: token_ids, positions, slot_mapping, token_seq
+    seq: np.ndarray    # [2, S] int32: kv_lens, logits_indices
+    temps: np.ndarray  # [S] float32
+    pages: np.ndarray  # [S, PAGES] int32
+
+    @classmethod
+    def pack(cls, b: StepBatch) -> "PackedBatch":
+        return cls(
+            tok=np.stack([b.token_ids, b.positions, b.slot_mapping, b.token_seq]),
+            seq=np.stack([b.kv_lens, b.logits_indices]),
+            temps=b.temperatures,
+            pages=b.page_indices,
+        )
+
+    def unpack(self) -> StepBatch:
+        return StepBatch(
+            token_ids=self.tok[0],
+            positions=self.tok[1],
+            slot_mapping=self.tok[2],
+            token_seq=self.tok[3],
+            kv_lens=self.seq[0],
+            page_indices=self.pages,
+            logits_indices=self.seq[1],
+            temperatures=self.temps,
+        )
+
+
 def bucket(n: int, minimum: int = 8) -> int:
     """Next power-of-two bucket >= n (bounded below for tiling sanity)."""
     b = minimum

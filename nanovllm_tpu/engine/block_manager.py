@@ -199,6 +199,22 @@ class BlockManager:
                 prev = self.blocks[seq.block_table[idx - 1]].hash if idx > 0 else NO_HASH
                 self._register(block, hash_block(token_ids, prev), token_ids)
 
+    def commit_full_blocks(self, seq: Sequence) -> None:
+        """Register prefix-cache hashes for owned blocks that became exactly
+        full outside the normal may_append path (decode-burst acceptance).
+
+        Walks the chain over blocks fully covered by ``num_cached_tokens``;
+        blocks already hashed are skipped (their hash is identical by
+        construction of the chain).
+        """
+        for idx in range(seq.num_cached_blocks):
+            block = self.blocks[seq.block_table[idx]]
+            if block.hash != NO_HASH:
+                continue
+            prev = self.blocks[seq.block_table[idx - 1]].hash if idx > 0 else NO_HASH
+            token_ids = seq.block(idx)
+            self._register(block, hash_block(token_ids, prev), token_ids)
+
     # -- release -------------------------------------------------------------
 
     def deallocate(self, seq: Sequence) -> None:

@@ -68,8 +68,14 @@ class LLMEngine:
         reference llm_engine.py:159-189).
         """
         seqs = self.scheduler.schedule()
-        token_ids, sampled_indices = self.model_runner.run(seqs)
-        self.scheduler.postprocess(seqs, token_ids, sampled_indices)
+        w = self.scheduler.burst_window(seqs, self.config.decode_burst)
+        if w >= 2:
+            w = 1 << (w.bit_length() - 1)  # power-of-two jit buckets
+            tokens_ws = self.model_runner.run_burst(seqs, w)
+            self.scheduler.postprocess_burst(seqs, tokens_ws)
+        else:
+            token_ids, sampled_indices = self.model_runner.run(seqs)
+            self.scheduler.postprocess(seqs, token_ids, sampled_indices)
         outputs = [
             (seq.seq_id, seq.completion_token_ids) for seq in seqs if seq.is_finished
         ]

@@ -18,9 +18,12 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from nanovllm_tpu.config import Config
-from nanovllm_tpu.engine.batch import StepBatch, prepare_step_batch
+from typing import NamedTuple
+
+from nanovllm_tpu.engine.batch import PackedBatch, StepBatch, bucket, prepare_step_batch
 from nanovllm_tpu.engine.sequence import Sequence
 from nanovllm_tpu.models.qwen3 import ModelSpec, forward_and_sample
 from nanovllm_tpu.parallel.mesh import (
@@ -42,6 +45,14 @@ def _dtype_size(dtype: str) -> int:
     return jnp.dtype(dtype).itemsize
 
 
+class BurstMeta(NamedTuple):
+    """Transfer buffers for a decode burst (3 H2D copies)."""
+
+    tp: np.ndarray     # [2, S] int32: input token, first write position (-1 = pad lane)
+    pages: np.ndarray  # [S, PAGES] int32 block tables
+    temps: np.ndarray  # [S] float32
+
+
 class ModelRunner:
     def __init__(self, config: Config, devices=None):
         self.config = config
@@ -61,6 +72,7 @@ class ModelRunner:
         self.kv_pages = self._alloc_kv_pages(config.num_kvcache_blocks)
 
         self._step = self._build_step()
+        self._burst = self._build_burst()
         self._step_counter = 0
         self._base_key = jax.random.key(0)
 
@@ -146,27 +158,96 @@ class ModelRunner:
         pspecs = param_pspecs()
         if spec.tie_embeddings:
             pspecs.pop("lm_head")
-        batch_specs = StepBatch(*([P()] * len(StepBatch._fields)))
+        packed_specs = PackedBatch(*([P()] * len(PackedBatch._fields)))
         mesh = self.mesh
 
         @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(1,))
-        def step(params, kv_pages, batch, key, segments):
-            def local(params, kv_pages, batch, key):
+        def step(params, kv_pages, packed, key, segments):
+            def local(params, kv_pages, packed, key):
                 return forward_and_sample(
-                    params, kv_pages, batch, key, spec, TP_AXIS, attn_impl,
-                    segments=segments,
+                    params, kv_pages, packed.unpack(), key, spec, TP_AXIS,
+                    attn_impl, segments=segments,
                 )
 
             fn = _shard_map(
                 local,
                 mesh=mesh,
-                in_specs=(pspecs, kv_pspec(), batch_specs, P()),
+                in_specs=(pspecs, kv_pspec(), packed_specs, P()),
                 out_specs=(P(), kv_pspec()),
                 check_vma=False,
             )
-            return fn(params, kv_pages, batch, key)
+            return fn(params, kv_pages, packed, key)
 
         return step
+
+    def _build_burst(self):
+        """W decode steps in one device program: lax.scan over the full
+        forward+sample, feeding each step's sampled token to the next.
+
+        This amortizes the per-step host round-trip (the single-controller
+        analogue of the reference replaying pre-captured CUDA decode graphs,
+        model_runner.py:570-600) and additionally removes the host from the
+        token feedback loop entirely for W-1 of every W tokens.
+        """
+        spec = self.spec
+        attn_impl = self.attn_impl
+        block_size = self.config.kvcache_block_size
+        pspecs = param_pspecs()
+        if spec.tie_embeddings:
+            pspecs.pop("lm_head")
+        meta_specs = BurstMeta(*([P()] * len(BurstMeta._fields)))
+        mesh = self.mesh
+
+        @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(1,))
+        def burst(params, kv_pages, meta, key, w):
+            def local(params, kv_pages, meta, key):
+                tokens0 = meta.tp[0]
+                pos0 = meta.tp[1]
+                s = tokens0.shape[0]
+                lane = jnp.arange(s, dtype=jnp.int32)
+                valid = pos0 >= 0
+                segments = (s, s, s)  # all rows are the decode segment
+
+                def body(carry, i):
+                    toks, pages = carry
+                    pos = jnp.maximum(pos0 + i, 0)
+                    slot = jnp.where(
+                        valid,
+                        meta.pages[lane, pos // block_size] * block_size
+                        + pos % block_size,
+                        -1,
+                    )
+                    batch = StepBatch(
+                        token_ids=toks,
+                        positions=pos,
+                        slot_mapping=slot,
+                        token_seq=lane,
+                        kv_lens=pos + 1,
+                        page_indices=meta.pages,
+                        logits_indices=lane,
+                        temperatures=meta.temps,
+                    )
+                    toks2, pages = forward_and_sample(
+                        params, pages, batch, jax.random.fold_in(key, i),
+                        spec, TP_AXIS, attn_impl, segments=segments,
+                    )
+                    return (toks2, pages), toks2
+
+                (_, kv_pages_out), tokens_ws = lax.scan(
+                    body, (tokens0, kv_pages), jnp.arange(w, dtype=jnp.int32)
+                )
+                return tokens_ws, kv_pages_out
+
+            fn = _shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(pspecs, kv_pspec(), meta_specs, P()),
+                out_specs=(P(), kv_pspec()),
+                check_vma=False,
+            )
+            return fn(params, kv_pages, meta, key)
+
+        return burst
 
     # -- per-step execution ---------------------------------------------------
 
@@ -175,11 +256,34 @@ class ModelRunner:
         batch_np, sampled, segments = prepare_step_batch(
             seqs, self.config.kvcache_block_size
         )
-        batch = jax.tree.map(jnp.asarray, batch_np)
+        packed = jax.tree.map(jnp.asarray, PackedBatch.pack(batch_np))
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1
         tokens_dev, self.kv_pages = self._step(
-            self.params, self.kv_pages, batch, key, segments
+            self.params, self.kv_pages, packed, key, segments
         )
         tokens = np.asarray(jax.device_get(tokens_dev))
         return [int(tokens[i]) for i in sampled], sampled
+
+    def run_burst(self, seqs: list[Sequence], w: int) -> list[list[int]]:
+        """Execute a W-step decode burst; returns tokens as [w][len(seqs)]."""
+        s_pad = bucket(len(seqs))
+        p_pad = bucket(max(len(s.block_table) for s in seqs))
+        tp = np.zeros((2, s_pad), np.int32)
+        tp[1] = -1  # pad lanes: no KV write
+        pages = np.zeros((s_pad, p_pad), np.int32)
+        temps = np.zeros(s_pad, np.float32)
+        for i, seq in enumerate(seqs):
+            tp[0, i] = seq.last_token
+            tp[1, i] = len(seq) - 1
+            pages[i, : len(seq.block_table)] = seq.block_table
+            temps[i] = seq.temperature
+        meta = jax.tree.map(jnp.asarray, BurstMeta(tp=tp, pages=pages, temps=temps))
+        key = jax.random.fold_in(self._base_key, self._step_counter)
+        self._step_counter += 1
+        tokens_dev, self.kv_pages = self._burst(
+            self.params, self.kv_pages, meta, key, w
+        )
+        tokens = np.asarray(jax.device_get(tokens_dev))  # [w, s_pad]
+        n = len(seqs)
+        return [[int(t) for t in row[:n]] for row in tokens]

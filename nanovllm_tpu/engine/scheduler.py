@@ -133,6 +133,49 @@ class Scheduler:
         self.stats.num_steps += 1
         return scheduled
 
+    def burst_window(self, seqs: list[Sequence], w_max: int) -> int:
+        """Largest decode-burst width W for the scheduled sequences, or 0.
+
+        Eligible only when every scheduled sequence is a pure decode
+        (num_new == 1) and nothing is waiting (bursting must not starve
+        admissions).  W is capped so no sequence outgrows its already
+        allocated block table: burst writes reach position len+W-2, so
+        W <= table_capacity - len + 1 per sequence.  The growing tail block
+        is always exclusively owned (prefix cache shares only full blocks),
+        so in-burst KV writes cannot corrupt shared blocks.
+        """
+        if w_max < 2 or self.waiting:
+            return 0
+        if any(s.num_new_tokens != 1 for s in seqs):
+            return 0
+        w = w_max
+        for s in seqs:
+            capacity = len(s.block_table) * self.block_manager.block_size
+            w = min(w, capacity - len(s) + 1)
+        return w if w >= 2 else 0
+
+    def postprocess_burst(self, seqs: list[Sequence], tokens_ws: list[list[int]]) -> None:
+        """Accept burst tokens: per sequence, append until EOS / max_tokens /
+        max_model_len; tokens past the stop point are discarded (their KV was
+        written but is never referenced).  Surviving sequences commit
+        progress and register hashes of blocks that became full."""
+        w = len(tokens_ws)
+        for i, seq in enumerate(seqs):
+            for step in range(w):
+                token_id = tokens_ws[step][i]
+                seq.append_token(token_id)
+                hit_eos = not seq.ignore_eos and token_id == self.eos
+                if hit_eos or seq.num_completion_tokens == seq.max_tokens or \
+                        len(seq) >= self.max_model_len:
+                    seq.status = SequenceStatus.FINISHED
+                    self.block_manager.deallocate(seq)
+                    self.running.remove(seq)
+                    break
+            if not seq.is_finished:
+                seq.num_cached_tokens = len(seq) - 1
+                seq.num_new_tokens = 0
+                self.block_manager.commit_full_blocks(seq)
+
     def postprocess(
         self,
         seqs: list[Sequence],
