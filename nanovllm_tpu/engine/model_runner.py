@@ -98,10 +98,9 @@ class ModelRunner:
     def _kv_page_shape(self, num_blocks: int):
         s = self.spec
         return (
-            s.num_layers,
-            num_blocks,
-            2 * s.num_kv_heads,
+            s.num_layers * num_blocks,
             self.config.kvcache_block_size,
+            2 * s.num_kv_heads,
             s.head_dim,
         )
 
@@ -131,6 +130,22 @@ class ModelRunner:
             pass
         limit = stats.get("bytes_limit", 0)
         in_use = stats.get("bytes_in_use", 0)
+        if not limit and dev.platform == "tpu":
+            # some PJRT transports (axon tunnel) report no memory stats:
+            # fall back to the known per-chip HBM of the device kind and
+            # charge the parameters we just placed.
+            hbm_table = {
+                "TPU v4": 32, "TPU v5 lite": 16, "TPU v5": 95,
+                "TPU v5p": 95, "TPU v6 lite": 32, "TPU v6e": 32,
+            }
+            gib = next(
+                (v for k, v in hbm_table.items() if dev.device_kind.startswith(k)),
+                16,
+            )
+            limit = gib * (1 << 30)
+            in_use = sum(
+                x.size * x.dtype.itemsize for x in jax.tree.leaves(self.params)
+            ) // self.spec.tp_size
         if not limit:
             # CPU / unknown backend: enough for the configured worst case,
             # capped to keep host tests light.

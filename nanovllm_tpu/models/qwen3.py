@@ -131,9 +131,15 @@ def embed_lookup(embed_l, token_ids, spec: ModelSpec, axis_name):
     return _maybe_psum(x, axis_name)
 
 
-def decoder_layer(x, layer_params, kv_pages_l, batch, cos, sin, segments,
-                  spec: ModelSpec, axis_name, attn_impl):
-    """One pre-norm decoder layer on local shards (reference qwen3.py:278-377)."""
+def decoder_layer(x, layer_params, kv_pages, layer, pages_per_layer, batch,
+                  cos, sin, segments, spec: ModelSpec, axis_name, attn_impl):
+    """One pre-norm decoder layer on local shards (reference qwen3.py:278-377).
+
+    ``kv_pages`` is the FULL flat cache [L*pages_per_layer, 2kvh, page, hd];
+    the layer writes via an in-place dim-0 scatter and attention gathers its
+    pages from the same array (never slicing a whole layer in or out — see
+    ops/kv_cache.py for why this layout is load-bearing for peak HBM).
+    """
     t = x.shape[0]
     lp = layer_params
 
@@ -150,9 +156,10 @@ def decoder_layer(x, layer_params, kv_pages_l, batch, cos, sin, segments,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    kv_pages_l = write_kv_pages(kv_pages_l, k, v, batch.slot_mapping)
+    kv_pages = write_kv_pages(kv_pages, layer, pages_per_layer, k, v,
+                              batch.slot_mapping)
     o = paged_attention(
-        q, kv_pages_l, batch.kv_lens, batch.page_indices,
+        q, kv_pages, layer, pages_per_layer, batch.kv_lens, batch.page_indices,
         batch.token_seq, batch.positions, segments,
         sm_scale=spec.sm_scale, impl=attn_impl,
     )
@@ -164,27 +171,31 @@ def decoder_layer(x, layer_params, kv_pages_l, batch, cos, sin, segments,
     gate_up = h @ lp["gate_up"]                           # [T, 2*I_l]
     m = silu_and_mul(gate_up) @ lp["down"]                # [T, H]
     x = x + _maybe_psum(m, axis_name)
-    return x, kv_pages_l
+    return x, kv_pages
 
 
 def forward_local(params, kv_pages, batch, segments, spec: ModelSpec, axis_name, attn_impl):
     """Full forward on local shards: embed -> scan(layers) -> final norm.
 
-    Returns (hidden [T, H], new_kv_pages [L, ...]).
+    Returns (hidden [T, H], new_kv_pages).
     """
+    pages_per_layer = kv_pages.shape[0] // spec.num_layers
     x = embed_lookup(params["embed"], batch.token_ids, spec, axis_name)
     cos, sin = rope_cos_sin(batch.positions, spec.head_dim, spec.rope_theta)
 
-    def body(h, xs):
-        lp, pages_l = xs
-        h, new_pages = decoder_layer(
-            h, lp, pages_l, batch, cos, sin, segments, spec, axis_name, attn_impl
+    def body(carry, lp):
+        h, pages, layer = carry
+        h, pages = decoder_layer(
+            h, lp, pages, layer, pages_per_layer, batch, cos, sin, segments,
+            spec, axis_name, attn_impl,
         )
-        return h, new_pages
+        return (h, pages, layer + 1), None
 
-    x, new_kv_pages = lax.scan(body, x, (params["layers"], kv_pages))
+    (x, kv_pages, _), _ = lax.scan(
+        body, (x, kv_pages, jnp.int32(0)), params["layers"]
+    )
     x = rms_norm(x, params["final_norm"], spec.rms_eps)
-    return x, new_kv_pages
+    return x, kv_pages
 
 
 def compute_logits_local(params, hidden_sel, spec: ModelSpec):

@@ -35,7 +35,9 @@ PREFILL_TILE = 128
 
 def ragged_paged_attention_ref(
     q: jnp.ndarray,            # [T, nh, hd]
-    kv_pages: jnp.ndarray,     # [P, 2*kvh, page, hd]
+    kv_pages: jnp.ndarray,     # [L*PPL, page, 2*kvh, hd] — flat full cache
+    layer,                     # scalar int32 layer index
+    pages_per_layer: int,
     page_indices: jnp.ndarray,  # [S, PPS]
     token_seq: jnp.ndarray,    # [T]
     positions: jnp.ndarray,    # [T]
@@ -43,15 +45,16 @@ def ragged_paged_attention_ref(
     sm_scale: float,
 ) -> jnp.ndarray:
     t, nh, hd = q.shape
-    _, kvh2, page_size, _ = kv_pages.shape
+    _, page_size, kvh2, _ = kv_pages.shape
     kvh = kvh2 // 2
     s, pages_per_seq = page_indices.shape
     ctx = pages_per_seq * page_size
 
-    kv = kv_pages[page_indices]                       # [S, PPS, 2kvh, page, hd]
-    kv = kv.reshape(s, pages_per_seq, kvh, 2, page_size, hd)
-    k = kv[:, :, :, 0].transpose(0, 1, 3, 2, 4).reshape(s, ctx, kvh, hd)
-    v = kv[:, :, :, 1].transpose(0, 1, 3, 2, 4).reshape(s, ctx, kvh, hd)
+    # dim-0 gather out of the flat cache: [S, PPS, page, 2kvh, hd]
+    kv = kv_pages[layer * pages_per_layer + page_indices]
+    kv = kv.reshape(s, ctx, kvh, 2, hd)
+    k = kv[:, :, :, 0, :]                             # [S, C, kvh, hd]
+    v = kv[:, :, :, 1, :]
 
     tsid = jnp.clip(token_seq, 0, s - 1)
     k_t = k[tsid]                                     # [T, C, kvh, hd]
@@ -74,6 +77,8 @@ def ragged_paged_attention_ref(
 def paged_attention(
     q,
     kv_pages,
+    layer,
+    pages_per_layer,
     kv_lens,
     page_indices,
     token_seq,
@@ -86,7 +91,8 @@ def paged_attention(
     """Dispatch over the segmented layout; returns [T, nh, hd]."""
     if impl == "ref":
         return ragged_paged_attention_ref(
-            q, kv_pages, page_indices, token_seq, positions, sm_scale=sm_scale
+            q, kv_pages, layer, pages_per_layer, page_indices, token_seq,
+            positions, sm_scale=sm_scale,
         )
     if impl != "pallas":
         raise ValueError(f"unknown attention impl: {impl}")
@@ -98,15 +104,15 @@ def paged_attention(
     out = jnp.zeros_like(q)
     if dec_end > 0:
         dec = ragged_paged_attention_pallas(
-            q[:dec_end], kv_pages, kv_lens, page_indices,
-            token_seq[:dec_end], positions[:dec_end],
+            q[:dec_end], kv_pages, layer, pages_per_layer, kv_lens,
+            page_indices, token_seq[:dec_end], positions[:dec_end],
             sm_scale=sm_scale, q_tile=1, interpret=interpret,
         )
         out = out.at[:dec_end].set(dec)
     if p_end > p_start:
         pre = ragged_paged_attention_pallas(
-            q[p_start:p_end], kv_pages, kv_lens, page_indices,
-            token_seq[p_start:p_end:PREFILL_TILE],
+            q[p_start:p_end], kv_pages, layer, pages_per_layer, kv_lens,
+            page_indices, token_seq[p_start:p_end:PREFILL_TILE],
             positions[p_start:p_end:PREFILL_TILE],
             sm_scale=sm_scale, q_tile=PREFILL_TILE, interpret=interpret,
         )

@@ -19,8 +19,9 @@ Our Pallas replacement for the reference's FlashAttention-2 CUDA calls
   * Pages past a sequence's ``kv_len`` are skipped with ``@pl.when`` (their
     index_map clamps to the table's padding entry, page 0).
 
-KV cache layout: [num_pages, 2*kvh, page_size, hd], K/V interleaved on the
-leading head axis so K and V slice off a loaded page without lane shuffles.
+KV cache layout: [L*pages_per_layer, page_size, 2*kvh, hd] (flat, page-major;
+see ops/kv_cache.py for why that exact order is load-bearing), K/V interleaved
+on the head axis; the kernel splits them with a reshape + static index.
 """
 
 import functools
@@ -36,13 +37,14 @@ MASK_VALUE = -1e30
 
 def _attn_kernel(
     # scalar prefetch
+    layer_ref,       # [1] int32: which layer of the full cache to read
     tile_seq_ref,    # [NT] int32: sequence id per query tile
     tile_kvpos_ref,  # [NT] int32: kv position of the tile's first query token
     kv_lens_ref,     # [S] int32
     page_indices_ref,  # [S, PPS] int32
     # inputs
     q_ref,           # [1, kvh, QG, hd]  (QG = Q_TILE * group)
-    kv_ref,          # [1, 2*kvh, page, hd] — the page chosen by index_map
+    kv_ref,          # [1, page, 2*kvh, hd] — the page chosen by index_map
     # outputs
     out_ref,         # [1, kvh, QG, hd]
     # scratch
@@ -70,47 +72,46 @@ def _attn_kernel(
     @pl.when(b < num_blocks)
     def _compute():
         q = q_ref[0]                                   # [kvh, QG, hd]
-        kv = kv_ref[0]                                 # [2kvh, page, hd]
+        kv = kv_ref[0]                                 # [page, 2kvh, hd]
         kvh = q.shape[0]
-        kv = kv.reshape(kvh, 2, page_size, kv.shape[-1])
-        k = kv[:, 0]                                   # [kvh, page, hd]
-        v = kv[:, 1]
-
-        scores = lax.dot_general(
-            q.astype(jnp.float32), k.astype(jnp.float32),
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale                                   # [kvh, QG, page]
+        qg = q.shape[1]
 
         # causal visibility: row r belongs to query token r // group whose kv
         # extent is tile_kvpos + r//group + 1; also clip to kv_len.
-        qg = scores.shape[1]
         row_tok = lax.broadcasted_iota(jnp.int32, (qg, page_size), 0) // group
         col = lax.broadcasted_iota(jnp.int32, (qg, page_size), 1) + b * page_size
         limit = jnp.minimum(tile_kvpos_ref[t] + row_tok + 1, kv_len)
         mask = col < limit                             # [QG, page]
-        scores = jnp.where(mask[None, :, :], scores, MASK_VALUE)
 
-        m_prev = m_ref[:, :, 0]                        # [kvh, QG]
-        m_cur = jnp.max(scores, axis=-1)               # [kvh, QG]
-        m_new = jnp.maximum(m_prev, m_cur)
-        # guard: fully-masked tiles keep m at -inf; exp(-inf - -inf) -> use 0
-        alpha = jnp.where(
-            m_prev == -jnp.inf, 0.0, jnp.exp(m_prev - m_new)
-        )                                              # [kvh, QG]
-        p = jnp.exp(scores - m_new[:, :, None])        # [kvh, QG, page]
-        p = jnp.where(mask[None, :, :], p, 0.0)
+        # static loop over local kv heads: plain 2D matmuls (Mosaic requires
+        # dot_general batch dims at equal positions, so no batched form here)
+        for h in range(kvh):
+            k_h = kv[:, 2 * h, :]                      # [page, hd]
+            v_h = kv[:, 2 * h + 1, :]
+            scores = lax.dot_general(
+                q[h].astype(jnp.float32), k_h.astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale                               # [QG, page]
+            scores = jnp.where(mask, scores, MASK_VALUE)
 
-        l_prev = l_ref[:, :, 0]
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1)
-        pv = lax.dot_general(
-            p, v.astype(jnp.float32),
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                              # [kvh, QG, hd]
-        acc_ref[...] = acc_ref[...] * alpha[:, :, None] + pv
-        m_ref[...] = jnp.broadcast_to(m_new[:, :, None], m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_new[:, :, None], l_ref.shape)
+            m_prev = m_ref[h, :, 0]                    # [QG]
+            m_cur = jnp.max(scores, axis=-1)
+            m_new = jnp.maximum(m_prev, m_cur)
+            # fully-masked tiles keep m at -inf; exp(-inf - -inf) -> use 0
+            alpha = jnp.where(m_prev == -jnp.inf, 0.0, jnp.exp(m_prev - m_new))
+            p = jnp.exp(scores - m_new[:, None])       # [QG, page]
+            p = jnp.where(mask, p, 0.0)
+
+            l_new = l_ref[h, :, 0] * alpha + jnp.sum(p, axis=-1)
+            pv = lax.dot_general(
+                p, v_h.astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                          # [QG, hd]
+            acc_ref[h] = acc_ref[h] * alpha[:, None] + pv
+            m_ref[h] = jnp.broadcast_to(m_new[:, None], m_ref.shape[1:])
+            l_ref[h] = jnp.broadcast_to(l_new[:, None], l_ref.shape[1:])
 
     @pl.when(b == num_blocks - 1)
     def _finalize():
@@ -121,7 +122,9 @@ def _attn_kernel(
 
 def ragged_paged_attention_pallas(
     q: jnp.ndarray,             # [T, nh, hd] (T = NT * q_tile, tile-aligned)
-    kv_pages: jnp.ndarray,      # [P, 2*kvh, page, hd]
+    kv_pages: jnp.ndarray,      # [L*PPL, page, 2*kvh, hd] — flat full cache
+    layer,                      # scalar int32 layer index
+    pages_per_layer: int,
     kv_lens: jnp.ndarray,       # [S]
     page_indices: jnp.ndarray,  # [S, PPS]
     tile_seq: jnp.ndarray,      # [NT]
@@ -132,7 +135,7 @@ def ragged_paged_attention_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     t, nh, hd = q.shape
-    num_pages, kvh2, page_size, _ = kv_pages.shape
+    _, page_size, kvh2, _ = kv_pages.shape
     kvh = kvh2 // 2
     group = nh // kvh
     nt = t // q_tile
@@ -145,19 +148,22 @@ def ragged_paged_attention_pallas(
     qk = qk.transpose(0, 2, 1, 3, 4).reshape(nt, kvh, qg, hd)
 
     grid = (nt, pps)
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
 
     def q_map(ti, bi, *_refs):
         return (ti, 0, 0, 0)
 
-    def kv_map(ti, bi, tile_seq_ref, tile_kvpos_ref, kv_lens_ref, page_indices_ref):
-        return (page_indices_ref[tile_seq_ref[ti], bi], 0, 0, 0)
+    def kv_map(ti, bi, layer_ref, tile_seq_ref, tile_kvpos_ref, kv_lens_ref,
+               page_indices_ref):
+        page = page_indices_ref[tile_seq_ref[ti], bi]
+        return (layer_ref[0] * pages_per_layer + page, 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, kvh, qg, hd), q_map),
-            pl.BlockSpec((1, kvh2, page_size, hd), kv_map),
+            pl.BlockSpec((1, page_size, kvh2, hd), kv_map),
         ],
         out_specs=pl.BlockSpec((1, kvh, qg, hd), q_map),
         scratch_shapes=[
@@ -182,7 +188,7 @@ def ragged_paged_attention_pallas(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(tile_seq, tile_kvpos, kv_lens, page_indices, qk, kv_pages)
+    )(layer_arr, tile_seq, tile_kvpos, kv_lens, page_indices, qk, kv_pages)
 
     # [NT, kvh, QG, hd] -> [T, nh, hd]
     out = out.reshape(nt, kvh, q_tile, group, hd).transpose(0, 2, 1, 3, 4)

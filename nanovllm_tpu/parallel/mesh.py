@@ -43,8 +43,8 @@ def param_pspecs() -> dict:
 
 
 def kv_pspec() -> P:
-    """KV pages sharded on the kv-head axis: [L, P, 2*kvh, page, hd]."""
-    return P(None, None, TP_AXIS, None, None)
+    """KV pages sharded on the kv-head axis: [L*P, page, 2*kvh, hd]."""
+    return P(None, None, TP_AXIS, None)
 
 
 def pack_tp(arrays: list[np.ndarray], tp: int, axis: int) -> np.ndarray:

@@ -22,10 +22,14 @@ from nanovllm_tpu.ops.ragged_paged_attention import ragged_paged_attention_palla
 PAGE = 16
 
 
-def rand_cache(rng, num_pages, kvh, hd):
+def rand_cache(rng, num_pages, kvh, hd, layers=3):
+    # flat 4D cache: [layers * num_pages, 2*kvh, page, hd]
     return jnp.asarray(
-        rng.standard_normal((num_pages, 2 * kvh, PAGE, hd), dtype=np.float32)
+        rng.standard_normal((layers * num_pages, PAGE, 2 * kvh, hd), dtype=np.float32)
     )
+
+LAYER = 1   # attention reads layer 1 of a 3-layer cache (indexing exercised)
+PPL = 32    # pages per layer in all cases below
 
 
 def build_case(rng, kv_lens_list, q_lens_list, nh, kvh, hd, num_pages=32):
@@ -64,11 +68,11 @@ def build_case(rng, kv_lens_list, q_lens_list, nh, kvh, hd, num_pages=32):
 def run_both_decode(case, sm_scale=0.25):
     q, kv_pages, kv_lens, page_indices, token_seq, positions = case
     ours = ragged_paged_attention_pallas(
-        q, kv_pages, kv_lens, page_indices, token_seq, positions,
+        q, kv_pages, LAYER, PPL, kv_lens, page_indices, token_seq, positions,
         sm_scale=sm_scale, q_tile=1, interpret=True,
     )
     ref = ragged_paged_attention_ref(
-        q, kv_pages, page_indices, token_seq, positions, sm_scale=sm_scale
+        q, kv_pages, LAYER, PPL, page_indices, token_seq, positions, sm_scale=sm_scale
     )
     return np.asarray(ours), np.asarray(ref)
 
@@ -106,12 +110,12 @@ class TestPrefillKernel:
         ts = jnp.zeros(t_pad, jnp.int32).at[:ql].set(token_seq)
         pos = jnp.zeros(t_pad, jnp.int32).at[:ql].set(positions)
         ours = ragged_paged_attention_pallas(
-            qp, kv_pages, kv_lens, page_indices,
+            qp, kv_pages, LAYER, PPL, kv_lens, page_indices,
             ts[::PREFILL_TILE], pos[::PREFILL_TILE],
             sm_scale=0.25, q_tile=PREFILL_TILE, interpret=True,
         )
         ref = ragged_paged_attention_ref(
-            q, kv_pages, page_indices, token_seq, positions, sm_scale=0.25
+            q, kv_pages, LAYER, PPL, page_indices, token_seq, positions, sm_scale=0.25
         )
         np.testing.assert_allclose(np.asarray(ours)[:ql], np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
@@ -127,12 +131,12 @@ class TestPrefillKernel:
         ts = jnp.zeros(t_pad, jnp.int32).at[:q_len].set(token_seq)
         pos = jnp.zeros(t_pad, jnp.int32).at[:q_len].set(positions)
         ours = ragged_paged_attention_pallas(
-            qp, kv_pages, kv_lens, page_indices,
+            qp, kv_pages, LAYER, PPL, kv_lens, page_indices,
             ts[::PREFILL_TILE], pos[::PREFILL_TILE],
             sm_scale=0.25, q_tile=PREFILL_TILE, interpret=True,
         )
         ref = ragged_paged_attention_ref(
-            q, kv_pages, page_indices, token_seq, positions, sm_scale=0.25
+            q, kv_pages, LAYER, PPL, page_indices, token_seq, positions, sm_scale=0.25
         )
         np.testing.assert_allclose(np.asarray(ours)[:q_len], np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
@@ -160,11 +164,11 @@ class TestSegmentedDispatch:
         pos = pos.at[:3].set(positions[:3]).at[p_start:p_start + 20].set(positions[3:])
 
         ours = paged_attention(
-            qp, kv_pages, kv_lens, page_indices, ts, pos,
+            qp, kv_pages, LAYER, PPL, kv_lens, page_indices, ts, pos,
             (dec_end, p_start, p_end), sm_scale=0.25, impl="pallas",
         )
         ref = ragged_paged_attention_ref(
-            q, kv_pages, page_indices, token_seq, positions, sm_scale=0.25
+            q, kv_pages, LAYER, PPL, page_indices, token_seq, positions, sm_scale=0.25
         )
         ours = np.asarray(ours)
         np.testing.assert_allclose(ours[:3], np.asarray(ref)[:3], rtol=2e-5, atol=2e-5)
@@ -178,14 +182,16 @@ class TestSegmentedDispatch:
 class TestKVWrite:
     def test_scatter_and_drop(self):
         kvh, hd = 2, 8
-        pages = jnp.zeros((4, 2 * kvh, PAGE, hd), jnp.float32)
+        ppl = 4  # 2 layers x 4 pages, flat
+        pages = jnp.zeros((2 * ppl, PAGE, 2 * kvh, hd), jnp.float32)
         k = jnp.ones((3, kvh, hd)) * jnp.asarray([1.0, 2.0, 3.0])[:, None, None]
         v = -k
         slots = jnp.asarray([0, PAGE + 2, -1], jnp.int32)  # third is padding
-        out = write_kv_pages(pages, k, v, slots)
+        out = write_kv_pages(pages, 1, ppl, k, v, slots)  # write into layer 1
         kk, vv = split_kv_pages(out)
-        assert float(kk[0, 0, 0, 0]) == 1.0 and float(vv[0, 0, 0, 0]) == -1.0
-        assert float(kk[1, 1, 2, 3]) == 2.0 and float(vv[1, 1, 2, 3]) == -2.0
+        assert float(kk[ppl + 0, 0, 0, 0]) == 1.0 and float(vv[ppl + 0, 0, 0, 0]) == -1.0
+        assert float(kk[ppl + 1, 2, 1, 3]) == 2.0 and float(vv[ppl + 1, 2, 1, 3]) == -2.0
+        assert float(jnp.sum(jnp.abs(out[:ppl]))) == 0.0  # layer 0 untouched
         # dropped slot wrote nothing anywhere
         total = float(jnp.sum(jnp.abs(out)))
         expected = float(jnp.sum(jnp.abs(k[:2]))) + float(jnp.sum(jnp.abs(v[:2])))
