@@ -39,6 +39,9 @@ class Config:
     # --- TPU-native knobs (not in the reference) ---
     dtype: str = "bfloat16"
     attention_impl: str = "auto"  # auto | pallas | ref
+    # Weight-only quantization: "none" | "int8" (W8A16) | "int4" (W4A16, g=128).
+    # Dequantization is fused into the Pallas matmul kernel on TPU.
+    quantization: str = "none"
     # Hand the runner an HF config object directly (tests / random-init bench
     # runs that have no checkpoint directory on disk).
     hf_config: Any = field(default=None, repr=False)

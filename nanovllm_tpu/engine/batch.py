@@ -108,11 +108,16 @@ def prepare_step_batch(
     decode_idx = [i for i, s in enumerate(seqs) if s.num_new_tokens == 1]
     prefill_idx = [i for i, s in enumerate(seqs) if s.num_new_tokens != 1]
 
-    dec_end = len(decode_idx)
+    # segment boundaries are part of the jit cache key: bucket them (pow2)
+    # or every distinct decode/prefill count would compile a new program
+    dec_end = bucket(len(decode_idx)) if decode_idx else 0
     p_start = _round_up(dec_end, PREFILL_TILE) if prefill_idx else dec_end
-    p_end = p_start + sum(
-        _round_up(seqs[i].num_new_tokens, PREFILL_TILE) for i in prefill_idx
+    n_tiles = sum(
+        _round_up(seqs[i].num_new_tokens, PREFILL_TILE) // PREFILL_TILE
+        for i in prefill_idx
     )
+    n_tiles = bucket(n_tiles, minimum=1) if prefill_idx else 0
+    p_end = p_start + n_tiles * PREFILL_TILE
     t_pad = bucket(max(p_end, 1))
     s_pad = bucket(len(seqs))
     max_pages = max(len(s.block_table) for s in seqs)

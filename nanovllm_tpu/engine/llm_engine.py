@@ -85,6 +85,58 @@ class LLMEngine:
     def is_finished(self) -> bool:
         return self.scheduler.is_finished()
 
+    # -- scoring / perplexity API (not in the reference; BASELINE ppl gates) --
+
+    def score(self, token_ids_list: list[list[int]]) -> list[list[float]]:
+        """Per-token log-probabilities (teacher forcing) for each document.
+
+        Returns, for each document, logprob(x_i | x_<i) for i = 1..n-1
+        (the first token is unconditioned).  Documents stream through the
+        paged KV cache in budget-sized chunks; the prefix cache is bypassed
+        (fresh blocks, no hash registration) so every position is computed.
+        """
+        bm = self.scheduler.block_manager
+        budget = self.config.max_num_batched_tokens
+        results = []
+        for token_ids in token_ids_list:
+            assert len(token_ids) >= 2, "need at least 2 tokens to score"
+            seq = Sequence(token_ids, SamplingParams(),
+                           block_size=self.config.kvcache_block_size)
+            n_blocks = seq.num_blocks
+            assert bm.can_allocate(len(token_ids)), "document exceeds KV capacity"
+            for _ in range(n_blocks):
+                blk = bm._take_free_block(bm.free_queue[0])
+                seq.block_table.append(blk.block_id)
+            lps = [0.0] * len(token_ids)
+            try:
+                while seq.num_cached_tokens < len(seq):
+                    chunk = min(budget, len(seq) - seq.num_cached_tokens)
+                    seq.num_new_tokens = chunk
+                    row_lps, batch_np = self.model_runner.run_score([seq])
+                    import numpy as np
+
+                    rows = np.nonzero(batch_np.slot_mapping >= 0)[0]
+                    for r in rows:
+                        p = int(batch_np.positions[r])
+                        if p + 1 < len(seq):
+                            lps[p + 1] = float(row_lps[r])
+                    seq.num_cached_tokens += chunk
+                    seq.num_new_tokens = 0
+            finally:
+                bm.deallocate(seq)
+            results.append(lps[1:])
+        return results
+
+    def perplexity(self, token_ids_list: list[list[int]]) -> float:
+        """Corpus perplexity: exp(-mean per-token logprob) over all docs."""
+        import math
+
+        total, count = 0.0, 0
+        for lps in self.score(token_ids_list):
+            total += sum(lps)
+            count += len(lps)
+        return math.exp(-total / max(count, 1))
+
     # -- offline API ----------------------------------------------------------
 
     def generate(

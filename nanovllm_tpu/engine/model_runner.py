@@ -25,12 +25,16 @@ from typing import NamedTuple
 
 from nanovllm_tpu.engine.batch import PackedBatch, StepBatch, bucket, prepare_step_batch
 from nanovllm_tpu.engine.sequence import Sequence
-from nanovllm_tpu.models.qwen3 import ModelSpec, forward_and_sample
+from nanovllm_tpu.models.qwen3 import (
+    ModelSpec,
+    forward_and_sample,
+    forward_and_score,
+)
 from nanovllm_tpu.parallel.mesh import (
     TP_AXIS,
     kv_pspec,
     make_mesh,
-    param_pspecs,
+    pspecs_for,
     shard_params,
 )
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -63,6 +67,13 @@ class ModelRunner:
         self.attn_impl = self._pick_attn_impl()
 
         params_np = self._load_or_init_params()
+        if config.quantization != "none":
+            from nanovllm_tpu.utils.loader import quantize_params
+
+            params_np = quantize_params(
+                params_np, config.quantization, config.tensor_parallel_size
+            )
+        self._pspecs = pspecs_for(params_np)
         self.params = shard_params(params_np, self.mesh)
         del params_np
 
@@ -73,6 +84,7 @@ class ModelRunner:
 
         self._step = self._build_step()
         self._burst = self._build_burst()
+        self._score = self._build_score()
         self._step_counter = 0
         self._base_key = jax.random.key(0)
 
@@ -170,9 +182,7 @@ class ModelRunner:
     def _build_step(self):
         spec = self.spec
         attn_impl = self.attn_impl
-        pspecs = param_pspecs()
-        if spec.tie_embeddings:
-            pspecs.pop("lm_head")
+        pspecs = self._pspecs
         packed_specs = PackedBatch(*([P()] * len(PackedBatch._fields)))
         mesh = self.mesh
 
@@ -195,6 +205,56 @@ class ModelRunner:
 
         return step
 
+    def _build_score(self):
+        """Scoring program: per-row target logprobs instead of sampling."""
+        spec = self.spec
+        attn_impl = self.attn_impl
+        pspecs = self._pspecs
+        packed_specs = PackedBatch(*([P()] * len(PackedBatch._fields)))
+        mesh = self.mesh
+
+        @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(1,))
+        def score(params, kv_pages, packed, targets, segments):
+            def local(params, kv_pages, packed, targets):
+                return forward_and_score(
+                    params, kv_pages, packed.unpack(), targets, spec, TP_AXIS,
+                    attn_impl, segments=segments,
+                )
+
+            fn = _shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(pspecs, kv_pspec(), packed_specs, P()),
+                out_specs=(P(), kv_pspec()),
+                check_vma=False,
+            )
+            return fn(params, kv_pages, packed, targets)
+
+        return score
+
+    def run_score(self, seqs: list[Sequence], targets_fn=None) -> np.ndarray:
+        """One scoring step over the scheduled chunks; returns logprobs [T_pad].
+
+        The target of each row is the sequence's NEXT token (teacher forcing);
+        rows whose position is the last token of their sequence get target 0
+        and must be ignored by the caller.
+        """
+        batch_np, _, segments = prepare_step_batch(
+            seqs, self.config.kvcache_block_size
+        )
+        targets = np.zeros_like(batch_np.token_ids)
+        for i, seq in enumerate(seqs):
+            rows = np.nonzero(batch_np.token_seq == i)[0]
+            for r in rows:
+                p = int(batch_np.positions[r])
+                if batch_np.slot_mapping[r] >= 0 and p + 1 < len(seq):
+                    targets[r] = seq.token_ids[p + 1]
+        packed = jax.tree.map(jnp.asarray, PackedBatch.pack(batch_np))
+        lps_dev, self.kv_pages = self._score(
+            self.params, self.kv_pages, packed, jnp.asarray(targets), segments
+        )
+        return np.asarray(jax.device_get(lps_dev)), batch_np
+
     def _build_burst(self):
         """W decode steps in one device program: lax.scan over the full
         forward+sample, feeding each step's sampled token to the next.
@@ -207,9 +267,7 @@ class ModelRunner:
         spec = self.spec
         attn_impl = self.attn_impl
         block_size = self.config.kvcache_block_size
-        pspecs = param_pspecs()
-        if spec.tie_embeddings:
-            pspecs.pop("lm_head")
+        pspecs = self._pspecs
         meta_specs = BurstMeta(*([P()] * len(BurstMeta._fields)))
         mesh = self.mesh
 

@@ -36,6 +36,7 @@ from nanovllm_tpu.layers.common import apply_rope, rms_norm, rope_cos_sin, silu_
 from nanovllm_tpu.layers.sampler import sample_local
 from nanovllm_tpu.ops.attention import paged_attention
 from nanovllm_tpu.ops.kv_cache import write_kv_pages
+from nanovllm_tpu.ops.quant_matmul import quant_linear
 
 
 @dataclass(frozen=True)
@@ -145,7 +146,7 @@ def decoder_layer(x, layer_params, kv_pages, layer, pages_per_layer, batch,
 
     # --- attention ---
     h = rms_norm(x, lp["input_norm"], spec.rms_eps)
-    qkv = h @ lp["qkv"]                                   # [T, (q+2kv)_l]
+    qkv = quant_linear(h, lp["qkv"], impl=attn_impl)      # [T, (q+2kv)_l]
     q, k, v = jnp.split(qkv, [spec.q_size_l, spec.q_size_l + spec.kv_size_l], axis=-1)
     q = q.reshape(t, spec.heads_l, spec.head_dim)
     k = k.reshape(t, spec.kv_heads_l, spec.head_dim)
@@ -163,13 +164,13 @@ def decoder_layer(x, layer_params, kv_pages, layer, pages_per_layer, batch,
         batch.token_seq, batch.positions, segments,
         sm_scale=spec.sm_scale, impl=attn_impl,
     )
-    o = o.reshape(t, spec.q_size_l) @ lp["o"]             # [T, H]
+    o = quant_linear(o.reshape(t, spec.q_size_l), lp["o"], impl=attn_impl)
     x = x + _maybe_psum(o, axis_name)
 
     # --- mlp ---
     h = rms_norm(x, lp["post_norm"], spec.rms_eps)
-    gate_up = h @ lp["gate_up"]                           # [T, 2*I_l]
-    m = silu_and_mul(gate_up) @ lp["down"]                # [T, H]
+    gate_up = quant_linear(h, lp["gate_up"], impl=attn_impl)  # [T, 2*I_l]
+    m = quant_linear(silu_and_mul(gate_up), lp["down"], impl=attn_impl)
     x = x + _maybe_psum(m, axis_name)
     return x, kv_pages
 
@@ -204,6 +205,52 @@ def compute_logits_local(params, hidden_sel, spec: ModelSpec):
     return jnp.einsum(
         "sh,vh->sv", hidden_sel.astype(jnp.float32), lm.astype(jnp.float32)
     )
+
+
+def compute_logprobs_local(params, hidden, targets, spec: ModelSpec, axis_name):
+    """Log-probability of ``targets`` [T] under the model, for every row.
+
+    Used by the scoring/perplexity path (no reference equivalent — the
+    reference is generation-only; BASELINE.md requires WikiText-2 ppl gates).
+    Cross-shard math: global logsumexp via pmax + psum; the target logit is
+    summed across shards (exactly one shard owns each target id).
+    """
+    logits = compute_logits_local(params, hidden, spec)      # [T, V_l] f32
+    t, v_l = logits.shape
+    shard = lax.axis_index(axis_name) if axis_name else 0
+    global_idx = shard * spec.vocab_l + lax.broadcasted_iota(jnp.int32, (t, v_l), 1)
+    logits = jnp.where(global_idx < spec.vocab_size, logits, -jnp.inf)
+
+    lmax = jnp.max(logits, axis=-1)
+    gmax = lax.pmax(lmax, axis_name) if axis_name else lmax
+    sumexp = jnp.sum(jnp.exp(logits - gmax[:, None]), axis=-1)
+    if axis_name:
+        sumexp = lax.psum(sumexp, axis_name)
+    log_z = gmax + jnp.log(sumexp)
+
+    local_t = targets - shard * spec.vocab_l
+    owned = (local_t >= 0) & (local_t < spec.vocab_l)
+    tl = jnp.take_along_axis(
+        logits, jnp.clip(local_t, 0, v_l - 1)[:, None], axis=1
+    )[:, 0]
+    tl = jnp.where(owned, tl, 0.0)
+    if axis_name:
+        tl = lax.psum(tl, axis_name)
+    return tl - log_z
+
+
+def forward_and_score(params, kv_pages, batch, targets, spec: ModelSpec,
+                      axis_name, attn_impl, segments=(0, 0, 0)):
+    """Scoring step: forward + per-row target logprobs (perplexity eval).
+
+    Returns (logprobs [T], new kv_pages) — KV is written so long documents
+    stream through in chunks like chunked prefill.
+    """
+    hidden, new_kv_pages = forward_local(
+        params, kv_pages, batch, segments, spec, axis_name, attn_impl
+    )
+    lps = compute_logprobs_local(params, hidden, targets, spec, axis_name)
+    return lps, new_kv_pages
 
 
 def forward_and_sample(params, kv_pages, batch, key, spec: ModelSpec, axis_name,

@@ -1,0 +1,158 @@
+"""Pallas TPU kernel: weight-only quantized matmul (W8A16 / W4A16).
+
+The decode phase streams every weight byte from HBM once per step, so
+halving (int8) or quartering (int4) the weight bytes is the direct
+throughput lever (BASELINE.md: >= 2x bf16 tokens/s/chip target).  XLA cannot
+do this on its own: a jnp dequant-then-matmul materializes the full bf16
+weight, paying the bandwidth back.  This kernel DMAs the int8/int4 tiles,
+converts on the VPU, and feeds the MXU.
+
+Quantization scheme (symmetric, group along the contraction axis):
+  w_q [K, N] int8 (or int4 packed two-per-byte: [K//2, N])
+  scales [K//group, N] float32,  w ~= w_q * scales[k // group, n]
+
+Grid (T_tiles, N_tiles, K_tiles) with K tile == group, so the scale is a
+single row per tile and can be applied AFTER the MXU dot (cheaper than
+dequantizing the whole tile).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP = 128
+
+
+def _qmm_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, n_k, int4: bool):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    if int4:
+        # unpack two nibbles per byte: low nibble = even k, high = odd k
+        packed = w_ref[...]                       # [BK//2, BN] int8
+        low = jnp.left_shift(packed, 4)           # sign-extend low nibble
+        low = jnp.right_shift(low, 4)
+        high = jnp.right_shift(packed, 4)
+        bk2, bn = packed.shape
+        w = jnp.stack([low, high], axis=1).reshape(2 * bk2, bn)
+    else:
+        w = w_ref[...]                            # [BK, BN] int8
+    prod = lax.dot_general(
+        x.astype(jnp.float32), w.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[...] += prod * s_ref[0][None, :]
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+def quant_matmul_pallas(
+    x: jnp.ndarray,       # [T, K] activations
+    w_q: jnp.ndarray,     # [K, N] int8, or [K//2, N] int8 (packed int4)
+    scales: jnp.ndarray,  # [K//GROUP, N] float32
+    *,
+    int4: bool = False,
+    block_t: int = 256,
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    t, k = x.shape
+    n = w_q.shape[1]
+    k_w = w_q.shape[0] * (2 if int4 else 1)
+    assert k_w == k and k % GROUP == 0, (k, k_w)
+    bt = min(block_t, t)
+    assert t % bt == 0, "activation rows must be bucketed to a multiple of bt"
+    bn = block_n
+    while n % bn:
+        bn //= 2
+    bk = GROUP
+    n_k = k // bk
+
+    grid = (t // bt, n // bn, n_k)
+    wk_rows = bk // 2 if int4 else bk
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_kernel, n_k=n_k, int4=int4),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((wk_rows, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((bt, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bt, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, w_q, scales)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Host-side quantization + jnp reference path
+# ---------------------------------------------------------------------------
+
+def quantize_weight(w, *, int4: bool = False, group: int = GROUP):
+    """Symmetric group quantization of [..., K, N] along K (numpy).
+
+    Returns (w_q int8 [..., K or K//2, N], scales f32 [..., K//group, N]).
+    """
+    import numpy as np
+
+    w = np.asarray(w, dtype=np.float32)
+    *lead, k, n = w.shape
+    assert k % group == 0, (k, group)
+    grouped = w.reshape(*lead, k // group, group, n)
+    qmax = 7.0 if int4 else 127.0
+    scales = np.abs(grouped).max(axis=-2) / qmax          # [..., K/g, N]
+    scales = np.maximum(scales, 1e-8)
+    q = np.rint(grouped / scales[..., None, :]).clip(-qmax, qmax)
+    q = q.reshape(*lead, k, n).astype(np.int8)
+    if int4:
+        low = q[..., 0::2, :] & 0x0F
+        high = (q[..., 1::2, :] & 0x0F) << 4
+        q = (low | high).astype(np.int8)                  # [..., K//2, N]
+    return q, scales.astype(np.float32)
+
+
+def dequant_weight(w_q: jnp.ndarray, scales: jnp.ndarray, *, int4: bool = False,
+                   group: int = GROUP, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """jnp reference dequantization (CPU/test path; materializes the weight)."""
+    if int4:
+        low = jnp.right_shift(jnp.left_shift(w_q, 4), 4)
+        high = jnp.right_shift(w_q, 4)
+        k2, n = w_q.shape[-2:]
+        w = jnp.stack([low, high], axis=-2).reshape(*w_q.shape[:-2], 2 * k2, n)
+    else:
+        w = w_q
+    k, n = w.shape[-2:]
+    wf = w.astype(jnp.float32).reshape(*w.shape[:-2], k // group, group, n)
+    wf = wf * scales[..., None, :]
+    return wf.reshape(*w.shape).astype(dtype)
+
+
+def quant_linear(x: jnp.ndarray, w, *, impl: str = "ref") -> jnp.ndarray:
+    """Linear layer dispatch: plain array or quantized {"w", "s"} dict.
+
+    int4 is detected from the shape relation: packed int4 stores K//2 rows
+    while scales always describe K//GROUP groups.
+    """
+    if not isinstance(w, dict):
+        return x @ w
+    int4 = w["w"].shape[-2] != w["s"].shape[-2] * GROUP
+    if impl == "pallas":
+        return quant_matmul_pallas(x, w["w"], w["s"], int4=int4)
+    return x @ dequant_weight(w["w"], w["s"], int4=int4, dtype=x.dtype)

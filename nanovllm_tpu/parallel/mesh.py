@@ -23,19 +23,28 @@ def make_mesh(tp_size: int, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:tp_size]), (TP_AXIS,))
 
 
-def param_pspecs() -> dict:
-    """PartitionSpecs matching the param pytree layout of models/qwen3.py."""
+def param_pspecs(quantized: bool = False) -> dict:
+    """PartitionSpecs matching the param pytree layout of models/qwen3.py.
+
+    Quantized linear weights are {"w", "s"} dicts; scales shard on the same
+    axis as the weight (the group axis follows the contraction axis, so a
+    row-parallel shard owns whole groups — asserted at quantize time).
+    """
+
+    def maybe_q(spec: P) -> object:
+        return {"w": spec, "s": spec} if quantized else spec
+
     return {
         "embed": P(TP_AXIS, None),
         "layers": {
             "input_norm": P(None, None),
-            "qkv": P(None, None, TP_AXIS),
+            "qkv": maybe_q(P(None, None, TP_AXIS)),
             "q_norm": P(None, None),
             "k_norm": P(None, None),
-            "o": P(None, TP_AXIS, None),
+            "o": maybe_q(P(None, TP_AXIS, None)),
             "post_norm": P(None, None),
-            "gate_up": P(None, None, TP_AXIS),
-            "down": P(None, TP_AXIS, None),
+            "gate_up": maybe_q(P(None, None, TP_AXIS)),
+            "down": maybe_q(P(None, TP_AXIS, None)),
         },
         "final_norm": P(None),
         "lm_head": P(TP_AXIS, None),
@@ -62,14 +71,18 @@ def pack_tp(arrays: list[np.ndarray], tp: int, axis: int) -> np.ndarray:
     return np.concatenate(shards, axis=axis)
 
 
+def pspecs_for(params) -> dict:
+    """param_pspecs shaped to an actual param pytree (tied lm_head, quant)."""
+    specs = param_pspecs(quantized=isinstance(params["layers"]["qkv"], dict))
+    if "lm_head" not in params:
+        specs.pop("lm_head")
+    return specs
+
+
 def shard_params(params, mesh: Mesh):
     """device_put a (numpy) param pytree with the TP shardings."""
-    specs = param_pspecs()
-    if "lm_head" not in params:
-        specs = dict(specs)
-        specs.pop("lm_head")
     return jax.tree.map(
         lambda arr, spec: jax.device_put(arr, NamedSharding(mesh, spec)),
         params,
-        specs,
+        pspecs_for(params),
     )

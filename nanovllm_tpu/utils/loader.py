@@ -100,6 +100,33 @@ def assemble_params(raw: dict, spec: ModelSpec) -> dict:
     return params
 
 
+QUANTIZED_LAYER_WEIGHTS = ("qkv", "o", "gate_up", "down")
+
+
+def quantize_params(params: dict, mode: str, tp: int) -> dict:
+    """Weight-only quantization of the decoder linears (embed/lm_head/norms
+    stay high precision).  ``mode``: "int8" or "int4" (group=128 along the
+    contraction axis; see ops/quant_matmul.py)."""
+    from nanovllm_tpu.ops.quant_matmul import GROUP, quantize_weight
+
+    assert mode in ("int8", "int4"), mode
+    int4 = mode == "int4"
+    layers = dict(params["layers"])
+    for name in QUANTIZED_LAYER_WEIGHTS:
+        w = layers[name]                       # [L, K, N]
+        k = w.shape[1]
+        if name in ("o", "down"):
+            # row-parallel: each shard's K range must align to the group
+            assert (k // tp) % GROUP == 0, (name, k, tp)
+        else:
+            assert k % GROUP == 0, (name, k)
+        wq, scales = quantize_weight(w, int4=int4)
+        layers[name] = {"w": wq, "s": scales}
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
 def init_random_params(seed: int, spec: ModelSpec, scale: float = 0.02) -> dict:
     """Random-normal params with the same structure (bench / tests without a
     checkpoint; throughput does not depend on weight values)."""

