@@ -42,6 +42,9 @@ class Config:
     # Weight-only quantization: "none" | "int8" (W8A16) | "int4" (W4A16, g=128).
     # Dequantization is fused into the Pallas matmul kernel on TPU.
     quantization: str = "none"
+    # KV cache dtype: "auto" (= activation dtype) | "int8" (KV8: dynamic
+    # per-token-head scales, dequant fused into the attention kernel).
+    kv_cache_dtype: str = "auto"
     # Hand the runner an HF config object directly (tests / random-init bench
     # runs that have no checkpoint directory on disk).
     hf_config: Any = field(default=None, repr=False)

@@ -116,8 +116,28 @@ class ModelRunner:
             s.head_dim,
         )
 
+    @property
+    def _kv_int8(self) -> bool:
+        return self.config.kv_cache_dtype == "int8"
+
+    def _kv_pspec(self):
+        if self._kv_int8:
+            return {"data": kv_pspec(), "scale": P(None, None, TP_AXIS)}
+        return kv_pspec()
+
     def _alloc_kv_pages(self, num_blocks: int):
         shape = self._kv_page_shape(num_blocks)
+        if self._kv_int8:
+            return {
+                "data": jax.device_put(
+                    jnp.zeros(shape, jnp.int8),
+                    NamedSharding(self.mesh, kv_pspec()),
+                ),
+                "scale": jax.device_put(
+                    jnp.zeros(shape[:3], jnp.float32),
+                    NamedSharding(self.mesh, P(None, None, TP_AXIS)),
+                ),
+            }
         sharding = NamedSharding(self.mesh, kv_pspec())
         return jax.device_put(
             jnp.zeros(shape, dtype=jnp.dtype(self.spec.dtype)), sharding
@@ -127,12 +147,15 @@ class ModelRunner:
         """Size the KV cache from per-device free HBM, like the reference's
         allocate_kv_cache (model_runner.py:352-366) but via PJRT memory stats."""
         s = self.spec
+        # int8 KV: 1 byte per element + 4-byte scale per (slot, head)
+        slot_head_bytes = (
+            s.head_dim + 4 if self._kv_int8 else s.head_dim * _dtype_size(s.dtype)
+        )
         block_bytes_per_dev = (
             s.num_layers
             * self.config.kvcache_block_size
             * 2 * s.kv_heads_l
-            * s.head_dim
-            * _dtype_size(s.dtype)
+            * slot_head_bytes
         )
         dev = self.mesh.devices.flat[0]
         stats = {}
@@ -167,11 +190,14 @@ class ModelRunner:
             )
             return min(want, 4096)
         # reserve headroom for activations/logits of the largest bucket
+        # (empirical: ~4 fp32 [S, vocab] tensors live at the sampler peak, and
+        # a 460-block sizing with ~0.8 GB reserve OOM'd intermittently on v5e)
         t_max = self.config.max_num_batched_tokens
         act_reserve = 4 * t_max * s.hidden_size * _dtype_size(s.dtype) * 8
-        logits_reserve = 4 * self.config.max_num_seqs * s.vocab_l * 4
+        logits_reserve = 6 * min(self.config.max_num_seqs, 512) * s.vocab_l * 4
+        fixed_reserve = 512 * (1 << 20)
         budget = int(limit * self.config.gpu_memory_utilization) - in_use
-        budget -= act_reserve + logits_reserve
+        budget -= act_reserve + logits_reserve + fixed_reserve
         num = budget // block_bytes_per_dev
         assert num > 0, (
             f"no HBM left for KV cache: limit={limit} in_use={in_use} "
@@ -183,6 +209,7 @@ class ModelRunner:
         spec = self.spec
         attn_impl = self.attn_impl
         pspecs = self._pspecs
+        kvspec = self._kv_pspec()
         packed_specs = PackedBatch(*([P()] * len(PackedBatch._fields)))
         mesh = self.mesh
 
@@ -197,8 +224,8 @@ class ModelRunner:
             fn = _shard_map(
                 local,
                 mesh=mesh,
-                in_specs=(pspecs, kv_pspec(), packed_specs, P()),
-                out_specs=(P(), kv_pspec()),
+                in_specs=(pspecs, kvspec, packed_specs, P()),
+                out_specs=(P(), kvspec),
                 check_vma=False,
             )
             return fn(params, kv_pages, packed, key)
@@ -210,6 +237,7 @@ class ModelRunner:
         spec = self.spec
         attn_impl = self.attn_impl
         pspecs = self._pspecs
+        kvspec = self._kv_pspec()
         packed_specs = PackedBatch(*([P()] * len(PackedBatch._fields)))
         mesh = self.mesh
 
@@ -224,8 +252,8 @@ class ModelRunner:
             fn = _shard_map(
                 local,
                 mesh=mesh,
-                in_specs=(pspecs, kv_pspec(), packed_specs, P()),
-                out_specs=(P(), kv_pspec()),
+                in_specs=(pspecs, kvspec, packed_specs, P()),
+                out_specs=(P(), kvspec),
                 check_vma=False,
             )
             return fn(params, kv_pages, packed, targets)
@@ -268,6 +296,7 @@ class ModelRunner:
         attn_impl = self.attn_impl
         block_size = self.config.kvcache_block_size
         pspecs = self._pspecs
+        kvspec = self._kv_pspec()
         meta_specs = BurstMeta(*([P()] * len(BurstMeta._fields)))
         mesh = self.mesh
 
@@ -314,8 +343,8 @@ class ModelRunner:
             fn = _shard_map(
                 local,
                 mesh=mesh,
-                in_specs=(pspecs, kv_pspec(), meta_specs, P()),
-                out_specs=(P(), kv_pspec()),
+                in_specs=(pspecs, kvspec, meta_specs, P()),
+                out_specs=(P(), kvspec),
                 check_vma=False,
             )
             return fn(params, kv_pages, meta, key)

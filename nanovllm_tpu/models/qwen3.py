@@ -180,7 +180,8 @@ def forward_local(params, kv_pages, batch, segments, spec: ModelSpec, axis_name,
 
     Returns (hidden [T, H], new_kv_pages).
     """
-    pages_per_layer = kv_pages.shape[0] // spec.num_layers
+    kv_data = kv_pages["data"] if isinstance(kv_pages, dict) else kv_pages
+    pages_per_layer = kv_data.shape[0] // spec.num_layers
     x = embed_lookup(params["embed"], batch.token_ids, spec, axis_name)
     cos, sin = rope_cos_sin(batch.positions, spec.head_dim, spec.rope_theta)
 

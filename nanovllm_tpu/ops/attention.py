@@ -44,14 +44,21 @@ def ragged_paged_attention_ref(
     *,
     sm_scale: float,
 ) -> jnp.ndarray:
+    from nanovllm_tpu.ops.kv_cache import is_quantized_cache
+
     t, nh, hd = q.shape
-    _, page_size, kvh2, _ = kv_pages.shape
+    data = kv_pages["data"] if is_quantized_cache(kv_pages) else kv_pages
+    _, page_size, kvh2, _ = data.shape
     kvh = kvh2 // 2
     s, pages_per_seq = page_indices.shape
     ctx = pages_per_seq * page_size
 
     # dim-0 gather out of the flat cache: [S, PPS, page, 2kvh, hd]
-    kv = kv_pages[layer * pages_per_layer + page_indices]
+    gpages = layer * pages_per_layer + page_indices
+    kv = data[gpages]
+    if is_quantized_cache(kv_pages):
+        scale = kv_pages["scale"][gpages]             # [S, PPS, page, 2kvh]
+        kv = kv.astype(jnp.float32) * scale[..., None]
     kv = kv.reshape(s, ctx, kvh, 2, hd)
     k = kv[:, :, :, 0, :]                             # [S, C, kvh, hd]
     v = kv[:, :, :, 1, :]

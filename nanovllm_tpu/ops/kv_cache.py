@@ -18,14 +18,21 @@ at program entry.  One page DMA still fetches both K and V.
 import jax.numpy as jnp
 
 
+def is_quantized_cache(kv_pages) -> bool:
+    """True when the cache is the INT8 {"data", "scale"} pair."""
+    return isinstance(kv_pages, dict)
+
+
 def write_kv_pages(
-    kv_pages: jnp.ndarray,      # [L * pages_per_layer, page, 2*kvh, hd]
+    kv_pages,                   # [LP, page, 2*kvh, hd] array, or
+                                # {"data": int8 [LP, page, 2kvh, hd],
+                                #  "scale": f32 [LP, page, 2kvh]} for KV8
     layer,                      # scalar int32 layer index
     pages_per_layer: int,
     k: jnp.ndarray,             # [T, kvh, hd]
     v: jnp.ndarray,             # [T, kvh, hd]
     slot_mapping: jnp.ndarray,  # [T] int32 global slots; -1 = skip (padding)
-) -> jnp.ndarray:
+):
     """Scatter directly into the full multi-layer cache.
 
     The cache is FLAT 4D with the layer folded into the leading page axis
@@ -34,9 +41,14 @@ def write_kv_pages(
     indexing + contiguous written rows are what keep the scatter truly
     in place on the loop-carried buffer — 5D [L, P, ...] indexing or a
     head-major layout each cost an extra full-cache HBM copy per step.
+
+    INT8 KV mode quantizes symmetrically per (token, head) with a dynamic
+    scale stored alongside (attention dequantizes in-kernel; ~2x KV capacity
+    and read bandwidth, BASELINE "KV8").
     """
-    total_pages = kv_pages.shape[0]
-    page_size = kv_pages.shape[1]
+    data = kv_pages["data"] if is_quantized_cache(kv_pages) else kv_pages
+    total_pages = data.shape[0]
+    page_size = data.shape[1]
     t, kvh, hd = k.shape
     slot = slot_mapping
     # -1 slots -> out-of-bounds page -> dropped by the scatter
@@ -44,8 +56,21 @@ def write_kv_pages(
         slot >= 0, layer * pages_per_layer + slot // page_size, total_pages
     ).astype(jnp.int32)
     offset = jnp.where(slot >= 0, slot % page_size, 0).astype(jnp.int32)
-    kv = jnp.stack([k, v], axis=2).reshape(t, 2 * kvh, hd).astype(kv_pages.dtype)
-    return kv_pages.at[page_idx, offset].set(kv, mode="drop")
+    kv = jnp.stack([k, v], axis=2).reshape(t, 2 * kvh, hd)
+
+    if not is_quantized_cache(kv_pages):
+        return data.at[page_idx, offset].set(kv.astype(data.dtype), mode="drop")
+
+    kvf = kv.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(kvf), axis=-1) / 127.0          # [T, 2kvh]
+    safe = jnp.maximum(scale, 1e-10)
+    q = jnp.clip(jnp.round(kvf / safe[..., None]), -127, 127).astype(jnp.int8)
+    return {
+        "data": data.at[page_idx, offset].set(q, mode="drop"),
+        "scale": kv_pages["scale"].at[page_idx, offset].set(
+            scale, mode="drop"
+        ),
+    }
 
 
 def split_kv_pages(kv_pages: jnp.ndarray):

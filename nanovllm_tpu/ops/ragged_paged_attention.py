@@ -42,21 +42,24 @@ def _attn_kernel(
     tile_kvpos_ref,  # [NT] int32: kv position of the tile's first query token
     kv_lens_ref,     # [S] int32
     page_indices_ref,  # [S, PPS] int32
-    # inputs
-    q_ref,           # [1, kvh, QG, hd]  (QG = Q_TILE * group)
-    kv_ref,          # [1, page, 2*kvh, hd] — the page chosen by index_map
-    # outputs
-    out_ref,         # [1, kvh, QG, hd]
-    # scratch
-    m_ref,           # [kvh, QG, 128] f32 running max (lane-broadcast)
-    l_ref,           # [kvh, QG, 128] f32 running denom
-    acc_ref,         # [kvh, QG, hd] f32
-    *,
+    # inputs: q_ref, kv_ref[, scale_ref], then outputs and scratch
+    *refs,
     sm_scale: float,
     page_size: int,
     group: int,
     q_tile: int,
+    kv_int8: bool,
 ):
+    if kv_int8:
+        q_ref, kv_ref, scale_ref, out_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        q_ref, kv_ref, out_ref, m_ref, l_ref, acc_ref = refs
+        scale_ref = None
+    # q_ref    [1, kvh, QG, hd]  (QG = Q_TILE * group)
+    # kv_ref   [1, page, 2*kvh, hd] — the page chosen by index_map
+    # scale_ref[1, page, 2*kvh] f32 (INT8 KV only)
+    # out_ref  [1, kvh, QG, hd]
+    # m/l_ref  [kvh, QG, 128] f32 online-softmax state; acc_ref [kvh, QG, hd]
     t = pl.program_id(0)
     b = pl.program_id(1)
     seq = tile_seq_ref[t]
@@ -93,6 +96,9 @@ def _attn_kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * sm_scale                               # [QG, page]
+            if kv_int8:
+                # K dequant folds into a per-column rescale after the dot
+                scores = scores * scale_ref[0, :, 2 * h][None, :]
             scores = jnp.where(mask, scores, MASK_VALUE)
 
             m_prev = m_ref[h, :, 0]                    # [QG]
@@ -104,6 +110,9 @@ def _attn_kernel(
             p = jnp.where(mask, p, 0.0)
 
             l_new = l_ref[h, :, 0] * alpha + jnp.sum(p, axis=-1)
+            if kv_int8:
+                # V dequant folds into p (cheaper: QG x page vs page x hd)
+                p = p * scale_ref[0, :, 2 * h + 1][None, :]
             pv = lax.dot_general(
                 p, v_h.astype(jnp.float32),
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -122,7 +131,8 @@ def _attn_kernel(
 
 def ragged_paged_attention_pallas(
     q: jnp.ndarray,             # [T, nh, hd] (T = NT * q_tile, tile-aligned)
-    kv_pages: jnp.ndarray,      # [L*PPL, page, 2*kvh, hd] — flat full cache
+    kv_pages,                   # [L*PPL, page, 2*kvh, hd] flat cache, or the
+                                # INT8 {"data", "scale"} pair (KV8)
     layer,                      # scalar int32 layer index
     pages_per_layer: int,
     kv_lens: jnp.ndarray,       # [S]
@@ -134,6 +144,12 @@ def ragged_paged_attention_pallas(
     q_tile: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    from nanovllm_tpu.ops.kv_cache import is_quantized_cache
+
+    kv_int8 = is_quantized_cache(kv_pages)
+    kv_scales = kv_pages["scale"] if kv_int8 else None
+    if kv_int8:
+        kv_pages = kv_pages["data"]
     t, nh, hd = q.shape
     _, page_size, kvh2, _ = kv_pages.shape
     kvh = kvh2 // 2
@@ -158,13 +174,24 @@ def ragged_paged_attention_pallas(
         page = page_indices_ref[tile_seq_ref[ti], bi]
         return (layer_ref[0] * pages_per_layer + page, 0, 0, 0)
 
+    def scale_map(ti, bi, layer_ref, tile_seq_ref, tile_kvpos_ref, kv_lens_ref,
+                  page_indices_ref):
+        page = page_indices_ref[tile_seq_ref[ti], bi]
+        return (layer_ref[0] * pages_per_layer + page, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, kvh, qg, hd), q_map),
+        pl.BlockSpec((1, page_size, kvh2, hd), kv_map),
+    ]
+    inputs = [qk, kv_pages]
+    if kv_int8:
+        in_specs.append(pl.BlockSpec((1, page_size, kvh2), scale_map))
+        inputs.append(kv_scales)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, kvh, qg, hd), q_map),
-            pl.BlockSpec((1, page_size, kvh2, hd), kv_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, kvh, qg, hd), q_map),
         scratch_shapes=[
             pltpu.VMEM((kvh, qg, 128), jnp.float32),
@@ -179,6 +206,7 @@ def ragged_paged_attention_pallas(
         page_size=page_size,
         group=group,
         q_tile=q_tile,
+        kv_int8=kv_int8,
     )
     out = pl.pallas_call(
         kernel,
@@ -188,7 +216,7 @@ def ragged_paged_attention_pallas(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(layer_arr, tile_seq, tile_kvpos, kv_lens, page_indices, qk, kv_pages)
+    )(layer_arr, tile_seq, tile_kvpos, kv_lens, page_indices, *inputs)
 
     # [NT, kvh, QG, hd] -> [T, nh, hd]
     out = out.reshape(nt, kvh, q_tile, group, hd).transpose(0, 2, 1, 3, 4)
