@@ -41,6 +41,8 @@ def main():
     max_out = getenv_int("NVT_MAX_OUT", 1024)
     layers = getenv_int("NVT_LAYERS", QWEN3_0_6B["layers"])
     tp = getenv_int("NVT_TP", 1)
+    quant = os.environ.get("NVT_QUANT", "none")      # none | int8 | int4
+    kv_dtype = os.environ.get("NVT_KV", "auto")      # auto | int8
 
     geom = dict(QWEN3_0_6B, layers=layers)
     hf = _hf_cfg(**geom)
@@ -49,6 +51,8 @@ def main():
         random_weights=True,
         dtype="bfloat16",
         tensor_parallel_size=tp,
+        quantization=quant,
+        kv_cache_dtype=kv_dtype,
         max_model_len=4096,
         max_num_batched_tokens=2048,
         max_num_seqs=min(num_seqs, 256),
@@ -87,8 +91,11 @@ def main():
         f"preempted={stats.num_preempted} prefix_cached={stats.num_prefix_cached_tokens}",
         file=sys.stderr,
     )
+    tag = "bf16" if quant == "none" and kv_dtype == "auto" else (
+        f"w{quant}" + ("_kv8" if kv_dtype == "int8" else "")
+    )
     print(json.dumps({
-        "metric": "offline_throughput_qwen3_0.6b_bf16",
+        "metric": f"offline_throughput_qwen3_0.6b_{tag}",
         "value": round(throughput, 2),
         "unit": "tok/s",
         "vs_baseline": None,

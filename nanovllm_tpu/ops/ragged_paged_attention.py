@@ -129,6 +129,109 @@ def _attn_kernel(
         out_ref[0] = (acc_ref[...] / denom[:, :, None]).astype(out_ref.dtype)
 
 
+def _decode_kernel(
+    # scalar prefetch
+    layer_ref, tile_seq_ref, tile_kvpos_ref, kv_lens_ref, page_indices_ref,
+    # inputs / outputs / scratch (assembled by the wrapper)
+    *refs,
+    sm_scale: float,
+    page_size: int,
+    pages_per_layer: int,
+    kv_int8: bool,
+):
+    """Decode-mode kernel: grid (num_tiles,), one token's q heads per tile.
+
+    The BlockSpec-pipelined kernel pays per-grid-step overhead on every
+    (tile, page) pair; at decode scale (hundreds of tiles x pages x layers)
+    that overhead dominated the step (~2us x 2048 steps x 28 layers).  Here
+    the page walk is a *dynamic* fori_loop with manually double-buffered
+    DMAs: grid steps = tiles only, no padded-page fetches, online softmax
+    carried as loop values.
+    """
+    if kv_int8:
+        (q_ref, kv_hbm, scale_hbm, out_ref,
+         kv_buf, scale_buf, sems, scale_sems) = refs
+    else:
+        q_ref, kv_hbm, out_ref, kv_buf, sems = refs
+        scale_hbm = scale_buf = scale_sems = None
+
+    t = pl.program_id(0)
+    seq = tile_seq_ref[t]
+    kv_len = kv_lens_ref[seq]
+    num_blocks = pl.cdiv(kv_len, page_size)
+    layer = layer_ref[0]
+
+    def kv_dma(slot, b):
+        gpage = layer * pages_per_layer + page_indices_ref[seq, b]
+        return pltpu.make_async_copy(kv_hbm.at[gpage], kv_buf.at[slot], sems.at[slot])
+
+    def scale_dma(slot, b):
+        gpage = layer * pages_per_layer + page_indices_ref[seq, b]
+        return pltpu.make_async_copy(
+            scale_hbm.at[gpage], scale_buf.at[slot], scale_sems.at[slot]
+        )
+
+    def start(slot, b):
+        kv_dma(slot, b).start()
+        if kv_int8:
+            scale_dma(slot, b).start()
+
+    start(0, 0)
+    q = q_ref[0]                                        # [kvh, QG, hd]
+    kvh, qg, hd = q.shape
+    limit = jnp.minimum(tile_kvpos_ref[t] + 1, kv_len)  # one token per tile
+
+    def body(b, carry):
+        m, l, acc = carry                               # [kvh,QG] [kvh,QG] [kvh,QG,hd]
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b + 1 < num_blocks)
+        def _():
+            start(jax.lax.rem(b + 1, 2), b + 1)
+
+        kv_dma(slot, b).wait()
+        if kv_int8:
+            scale_dma(slot, b).wait()
+        kv = kv_buf[slot]                               # [page, 2kvh, hd]
+        col = lax.broadcasted_iota(jnp.int32, (1, page_size), 1) + b * page_size
+        mask = col < limit                              # [1, page]
+
+        new_m, new_l, new_acc = [], [], []
+        for h in range(kvh):
+            scores = lax.dot_general(
+                q[h].astype(jnp.float32), kv[:, 2 * h, :].astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale                                # [QG, page]
+            if kv_int8:
+                scores = scores * scale_buf[slot][:, 2 * h][None, :]
+            scores = jnp.where(mask, scores, MASK_VALUE)
+
+            m_prev, l_prev, acc_prev = m[h], l[h], acc[h]
+            m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1))
+            alpha = jnp.where(m_prev == -jnp.inf, 0.0, jnp.exp(m_prev - m_new))
+            p = jnp.where(mask, jnp.exp(scores - m_new[:, None]), 0.0)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+            if kv_int8:
+                p = p * scale_buf[slot][:, 2 * h + 1][None, :]
+            pv = lax.dot_general(
+                p, kv[:, 2 * h + 1, :].astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            new_m.append(m_new)
+            new_l.append(l_new)
+            new_acc.append(acc_prev * alpha[:, None] + pv)
+        return jnp.stack(new_m), jnp.stack(new_l), jnp.stack(new_acc)
+
+    m0 = jnp.full((kvh, qg), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((kvh, qg), jnp.float32)
+    acc0 = jnp.zeros((kvh, qg, hd), jnp.float32)
+    m, l, acc = lax.fori_loop(0, num_blocks, body, (m0, l0, acc0))
+    denom = jnp.where(l == 0.0, 1.0, l)
+    out_ref[0] = (acc / denom[:, :, None]).astype(out_ref.dtype)
+
+
 def ragged_paged_attention_pallas(
     q: jnp.ndarray,             # [T, nh, hd] (T = NT * q_tile, tile-aligned)
     kv_pages,                   # [L*PPL, page, 2*kvh, hd] flat cache, or the
@@ -163,8 +266,52 @@ def ragged_paged_attention_pallas(
     qk = q.reshape(nt, q_tile, kvh, group, hd)
     qk = qk.transpose(0, 2, 1, 3, 4).reshape(nt, kvh, qg, hd)
 
-    grid = (nt, pps)
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    if q_tile == 1:
+        # decode path: manual-DMA kernel, grid over tiles only
+        in_specs = [
+            pl.BlockSpec((1, kvh, qg, hd), lambda ti, *_: (ti, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+        inputs = [qk, kv_pages]
+        scratch = [
+            pltpu.VMEM((2, page_size, kvh2, hd), kv_pages.dtype),
+        ]
+        if kv_int8:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+            inputs.append(kv_scales)
+            scratch.append(pltpu.VMEM((2, page_size, kvh2), jnp.float32))
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+        if kv_int8:
+            scratch.append(pltpu.SemaphoreType.DMA((2,)))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(nt,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, kvh, qg, hd), lambda ti, *_: (ti, 0, 0, 0)),
+            scratch_shapes=scratch,
+        )
+        kernel = functools.partial(
+            _decode_kernel,
+            sm_scale=sm_scale,
+            page_size=page_size,
+            pages_per_layer=pages_per_layer,
+            kv_int8=kv_int8,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nt, kvh, qg, hd), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(layer_arr, tile_seq, tile_kvpos, kv_lens, page_indices, *inputs)
+        out = out.reshape(nt, kvh, q_tile, group, hd).transpose(0, 2, 1, 3, 4)
+        return out.reshape(t, nh, hd)
+
+    grid = (nt, pps)
 
     def q_map(ti, bi, *_refs):
         return (ti, 0, 0, 0)
