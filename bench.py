@@ -41,8 +41,10 @@ def main():
     max_out = getenv_int("NVT_MAX_OUT", 1024)
     layers = getenv_int("NVT_LAYERS", QWEN3_0_6B["layers"])
     tp = getenv_int("NVT_TP", 1)
-    quant = os.environ.get("NVT_QUANT", "none")      # none | int8 | int4
-    kv_dtype = os.environ.get("NVT_KV", "auto")      # auto | int8
+    # default = the BASELINE.json headline config (W8 weight-only + KV8);
+    # set NVT_QUANT=none NVT_KV=auto for the bf16 self-baseline
+    quant = os.environ.get("NVT_QUANT", "int8")      # none | int8 | int4
+    kv_dtype = os.environ.get("NVT_KV", "int8")      # auto | int8
 
     geom = dict(QWEN3_0_6B, layers=layers)
     hf = _hf_cfg(**geom)

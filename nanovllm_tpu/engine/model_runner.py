@@ -122,7 +122,7 @@ class ModelRunner:
 
     def _kv_pspec(self):
         if self._kv_int8:
-            return {"data": kv_pspec(), "scale": P(None, None, TP_AXIS)}
+            return {"data": kv_pspec(), "scale": P(None, TP_AXIS, None)}
         return kv_pspec()
 
     def _alloc_kv_pages(self, num_blocks: int):
@@ -134,8 +134,10 @@ class ModelRunner:
                     NamedSharding(self.mesh, kv_pspec()),
                 ),
                 "scale": jax.device_put(
-                    jnp.zeros(shape[:3], jnp.float32),
-                    NamedSharding(self.mesh, P(None, None, TP_AXIS)),
+                    # [LP, 2kvh, page]: page on lanes (a [.., page, 2kvh]
+                    # layout lane-pads 2kvh up to 128 = 8x HBM blowup)
+                    jnp.zeros((shape[0], shape[2], shape[1]), jnp.float32),
+                    NamedSharding(self.mesh, P(None, TP_AXIS, None)),
                 ),
             }
         sharding = NamedSharding(self.mesh, kv_pspec())

@@ -57,8 +57,8 @@ def ragged_paged_attention_ref(
     gpages = layer * pages_per_layer + page_indices
     kv = data[gpages]
     if is_quantized_cache(kv_pages):
-        scale = kv_pages["scale"][gpages]             # [S, PPS, page, 2kvh]
-        kv = kv.astype(jnp.float32) * scale[..., None]
+        scale = kv_pages["scale"][gpages]             # [S, PPS, 2kvh, page]
+        kv = kv.astype(jnp.float32) * scale.transpose(0, 1, 3, 2)[..., None]
     kv = kv.reshape(s, ctx, kvh, 2, hd)
     k = kv[:, :, :, 0, :]                             # [S, C, kvh, hd]
     v = kv[:, :, :, 1, :]

@@ -65,9 +65,11 @@ def write_kv_pages(
     scale = jnp.max(jnp.abs(kvf), axis=-1) / 127.0          # [T, 2kvh]
     safe = jnp.maximum(scale, 1e-10)
     q = jnp.clip(jnp.round(kvf / safe[..., None]), -127, 127).astype(jnp.int8)
+    # scale layout [LP, 2kvh, page]: page on the lane axis — a [.., page, 2kvh]
+    # layout lane-pads 2kvh (16) up to 128, an 8x HBM blowup
     return {
         "data": data.at[page_idx, offset].set(q, mode="drop"),
-        "scale": kv_pages["scale"].at[page_idx, offset].set(
+        "scale": kv_pages["scale"].at[page_idx, :, offset].set(
             scale, mode="drop"
         ),
     }

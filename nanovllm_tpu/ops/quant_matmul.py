@@ -28,6 +28,8 @@ GROUP = 128
 
 
 def _qmm_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, n_k, int4: bool):
+    # s_ref block covers ALL K-groups ([K//GROUP, BN]): a (1, BN) block would
+    # violate the TPU (8, 128) block-tiling rule; row k is indexed in-kernel.
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -50,7 +52,7 @@ def _qmm_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, n_k, int4: bool):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    acc_ref[...] += prod * s_ref[0][None, :]
+    acc_ref[...] += prod * s_ref[k][None, :]
 
     @pl.when(k == n_k - 1)
     def _():
@@ -88,7 +90,7 @@ def quant_matmul_pallas(
         in_specs=[
             pl.BlockSpec((bt, bk), lambda i, j, kk: (i, kk)),
             pl.BlockSpec((wk_rows, bn), lambda i, j, kk: (kk, j)),
-            pl.BlockSpec((1, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((n_k, bn), lambda i, j, kk: (0, j)),
         ],
         out_specs=pl.BlockSpec((bt, bn), lambda i, j, kk: (i, j)),
         out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),

@@ -57,7 +57,7 @@ def _attn_kernel(
         scale_ref = None
     # q_ref    [1, kvh, QG, hd]  (QG = Q_TILE * group)
     # kv_ref   [1, page, 2*kvh, hd] — the page chosen by index_map
-    # scale_ref[1, page, 2*kvh] f32 (INT8 KV only)
+    # scale_ref[1, 2*kvh, page] f32 (INT8 KV only; page on lanes)
     # out_ref  [1, kvh, QG, hd]
     # m/l_ref  [kvh, QG, 128] f32 online-softmax state; acc_ref [kvh, QG, hd]
     t = pl.program_id(0)
@@ -98,7 +98,7 @@ def _attn_kernel(
             ) * sm_scale                               # [QG, page]
             if kv_int8:
                 # K dequant folds into a per-column rescale after the dot
-                scores = scores * scale_ref[0, :, 2 * h][None, :]
+                scores = scores * scale_ref[0, 2 * h][None, :]
             scores = jnp.where(mask, scores, MASK_VALUE)
 
             m_prev = m_ref[h, :, 0]                    # [QG]
@@ -112,7 +112,7 @@ def _attn_kernel(
             l_new = l_ref[h, :, 0] * alpha + jnp.sum(p, axis=-1)
             if kv_int8:
                 # V dequant folds into p (cheaper: QG x page vs page x hd)
-                p = p * scale_ref[0, :, 2 * h + 1][None, :]
+                p = p * scale_ref[0, 2 * h + 1][None, :]
             pv = lax.dot_general(
                 p, v_h.astype(jnp.float32),
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -204,7 +204,7 @@ def _decode_kernel(
                 preferred_element_type=jnp.float32,
             ) * sm_scale                                # [QG, page]
             if kv_int8:
-                scores = scores * scale_buf[slot][:, 2 * h][None, :]
+                scores = scores * scale_buf[slot, 2 * h][None, :]
             scores = jnp.where(mask, scores, MASK_VALUE)
 
             m_prev, l_prev, acc_prev = m[h], l[h], acc[h]
@@ -213,7 +213,7 @@ def _decode_kernel(
             p = jnp.where(mask, jnp.exp(scores - m_new[:, None]), 0.0)
             l_new = l_prev * alpha + jnp.sum(p, axis=-1)
             if kv_int8:
-                p = p * scale_buf[slot][:, 2 * h + 1][None, :]
+                p = p * scale_buf[slot, 2 * h + 1][None, :]
             pv = lax.dot_general(
                 p, kv[:, 2 * h + 1, :].astype(jnp.float32),
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -281,7 +281,7 @@ def ragged_paged_attention_pallas(
         if kv_int8:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
             inputs.append(kv_scales)
-            scratch.append(pltpu.VMEM((2, page_size, kvh2), jnp.float32))
+            scratch.append(pltpu.VMEM((2, kvh2, page_size), jnp.float32))
         scratch.append(pltpu.SemaphoreType.DMA((2,)))
         if kv_int8:
             scratch.append(pltpu.SemaphoreType.DMA((2,)))
@@ -332,7 +332,7 @@ def ragged_paged_attention_pallas(
     ]
     inputs = [qk, kv_pages]
     if kv_int8:
-        in_specs.append(pl.BlockSpec((1, page_size, kvh2), scale_map))
+        in_specs.append(pl.BlockSpec((1, kvh2, page_size), scale_map))
         inputs.append(kv_scales)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -20,7 +20,7 @@ def quantized_case(rng, kv_lens_list, nh, kvh, hd, layers=2, num_pages=32):
     ppl = num_pages
     cache8 = {
         "data": jnp.zeros((layers * ppl, PAGE, 2 * kvh, hd), jnp.int8),
-        "scale": jnp.zeros((layers * ppl, PAGE, 2 * kvh), jnp.float32),
+        "scale": jnp.zeros((layers * ppl, 2 * kvh, PAGE), jnp.float32),
     }
     cache_fp = jnp.zeros((layers * ppl, PAGE, 2 * kvh, hd), jnp.float32)
     s = len(kv_lens_list)
