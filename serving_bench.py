@@ -66,6 +66,8 @@ def build_engine(args):
         tensor_parallel_size=args.tensor_parallel_size,
         chunked_prefill=args.chunked_prefill,
         enforce_eager=args.enforce_eager,
+        quantization=args.quantization,
+        kv_cache_dtype=args.kv_cache_dtype,
     )
     if args.model == "random":
         from __graft_entry__ import QWEN3_0_6B, _hf_cfg
@@ -89,6 +91,8 @@ def main():
     parser.add_argument("--chunked-prefill", action="store_true", default=False)
     parser.add_argument("--enforce-eager", action="store_true", default=False)
     parser.add_argument("--layers", type=int, default=0, help="override (random model only)")
+    parser.add_argument("--quantization", type=str, default="none")
+    parser.add_argument("--kv-cache-dtype", type=str, default="auto")
     parser.add_argument("--json", action="store_true", help="emit one JSON line")
     args = parser.parse_args()
 
