@@ -45,6 +45,7 @@ def main():
     # set NVT_QUANT=none NVT_KV=auto for the bf16 self-baseline
     quant = os.environ.get("NVT_QUANT", "int8")      # none | int8 | int4
     kv_dtype = os.environ.get("NVT_KV", "int8")      # auto | int8
+    burst = getenv_int("NVT_BURST", 16)              # decode-burst window W
 
     geom = dict(QWEN3_0_6B, layers=layers)
     hf = _hf_cfg(**geom)
@@ -58,6 +59,7 @@ def main():
         max_model_len=4096,
         max_num_batched_tokens=2048,
         max_num_seqs=min(num_seqs, 256),
+        decode_burst=burst,
         kvcache_block_size=256,
         attention_impl="pallas" if jax.default_backend() == "tpu" else "ref",
     )

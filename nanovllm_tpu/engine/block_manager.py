@@ -174,10 +174,16 @@ class BlockManager:
     # -- running-queue path (append) -----------------------------------------
 
     def can_append(self, seq: Sequence, num_new_tokens: int) -> bool:
-        """Can the running sequence grow by ``num_new_tokens``?  Accounts for
-        slack in the trailing partial block (reference block_manager.py:382-389)."""
-        slack = -seq.num_cached_tokens % self.block_size
-        need = (num_new_tokens - slack + self.block_size - 1) // self.block_size
+        """Can the running sequence grow by ``num_new_tokens``?
+
+        Counts blocks beyond the sequence's current table.  When the table
+        exactly covers ``num_cached_tokens`` this reduces to the reference's
+        trailing-partial-block slack formula (block_manager.py:382-389); it
+        additionally credits blocks pre-reserved by the decode-burst path.
+        """
+        target = (seq.num_cached_tokens + num_new_tokens + self.block_size - 1) \
+            // self.block_size
+        need = max(0, target - len(seq.block_table))
         return need <= len(self.free_queue)
 
     def may_append(self, seq: Sequence) -> None:
@@ -198,6 +204,22 @@ class BlockManager:
             if len(token_ids) == self.block_size:
                 prev = self.blocks[seq.block_table[idx - 1]].hash if idx > 0 else NO_HASH
                 self._register(block, hash_block(token_ids, prev), token_ids)
+
+    def reserve_append_block(self, seq: Sequence) -> bool:
+        """Append one fresh (hashless) block to the sequence's table so a
+        decode burst can write past the current block boundary.
+
+        No reference equivalent (the reference decodes one token per step and
+        never needs lookahead capacity).  The reserved block is exclusively
+        owned, carries no hash until it fills (hashes are registered later by
+        ``may_append``/``commit_full_blocks``), and is released with the rest
+        of the table on deallocate.  Returns False when the free list is empty.
+        """
+        if not self.free_queue:
+            return False
+        block = self._take_free_block(self.free_queue[0])
+        seq.block_table.append(block.block_id)
+        return True
 
     def commit_full_blocks(self, seq: Sequence) -> None:
         """Register prefix-cache hashes for owned blocks that became exactly

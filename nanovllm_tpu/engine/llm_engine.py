@@ -21,6 +21,7 @@ from nanovllm_tpu.engine.model_runner import ModelRunner
 from nanovllm_tpu.engine.scheduler import Scheduler
 from nanovllm_tpu.engine.sequence import Sequence
 from nanovllm_tpu.sampling_params import SamplingParams
+from nanovllm_tpu.utils.profiling import EngineStats
 
 
 class LLMEngine:
@@ -36,6 +37,9 @@ class LLMEngine:
         if self.tokenizer is not None and self.tokenizer.eos_token_id is not None:
             config.eos = self.tokenizer.eos_token_id
         self.scheduler = Scheduler(config)
+        self.stats = EngineStats()
+        if self.stats.enabled:
+            self.model_runner.stats = self.stats
 
     @staticmethod
     def _load_tokenizer(model: str):
@@ -67,15 +71,23 @@ class LLMEngine:
         num_total_tokens counts their full lengths (throughput accounting,
         reference llm_engine.py:159-189).
         """
-        seqs = self.scheduler.schedule()
-        w = self.scheduler.burst_window(seqs, self.config.decode_burst)
+        with self.stats.measure("-", "schedule"):
+            seqs = self.scheduler.schedule()
+            w = self.scheduler.burst_window(seqs, self.config.decode_burst)
         if w >= 2:
             w = 1 << (w.bit_length() - 1)  # power-of-two jit buckets
             tokens_ws = self.model_runner.run_burst(seqs, w)
-            self.scheduler.postprocess_burst(seqs, tokens_ws)
+            with self.stats.measure("burst", "post"):
+                self.scheduler.postprocess_burst(seqs, tokens_ws)
         else:
-            token_ids, sampled_indices = self.model_runner.run(seqs)
-            self.scheduler.postprocess(seqs, token_ids, sampled_indices)
+            kind = (
+                "decode" if all(s.num_new_tokens == 1 for s in seqs)
+                else "prefill" if all(s.num_new_tokens > 1 for s in seqs)
+                else "mixed"
+            )
+            token_ids, sampled_indices = self.model_runner.run(seqs, kind)
+            with self.stats.measure(kind, "post"):
+                self.scheduler.postprocess(seqs, token_ids, sampled_indices)
         outputs = [
             (seq.seq_id, seq.completion_token_ids) for seq in seqs if seq.is_finished
         ]
@@ -173,6 +185,10 @@ class LLMEngine:
                     pbar.update(1)
         if pbar is not None:
             pbar.close()
+        if self.stats.enabled:
+            import sys
+
+            print(self.stats.summary(), file=sys.stderr)
         decode = (
             self.tokenizer.decode if self.tokenizer is not None else lambda ids: ""
         )

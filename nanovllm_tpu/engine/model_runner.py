@@ -14,6 +14,7 @@ model_runner.py:87-715) with one Python process driving a ``Mesh(("tp",))``:
 """
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -87,6 +88,7 @@ class ModelRunner:
         self._score = self._build_score()
         self._step_counter = 0
         self._base_key = jax.random.key(0)
+        self.stats = None  # EngineStats, attached by LLMEngine
 
     # -- setup ---------------------------------------------------------------
 
@@ -355,22 +357,29 @@ class ModelRunner:
 
     # -- per-step execution ---------------------------------------------------
 
-    def run(self, seqs: list[Sequence]) -> tuple[list[int], list[int]]:
+    def run(self, seqs: list[Sequence], kind: str = "step") -> tuple[list[int], list[int]]:
         """Execute one step; returns (sampled token ids, sampled seq indices)."""
+        t0 = time.perf_counter()
         batch_np, sampled, segments = prepare_step_batch(
             seqs, self.config.kvcache_block_size
         )
         packed = jax.tree.map(jnp.asarray, PackedBatch.pack(batch_np))
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1
+        t1 = time.perf_counter()
         tokens_dev, self.kv_pages = self._step(
             self.params, self.kv_pages, packed, key, segments
         )
         tokens = np.asarray(jax.device_get(tokens_dev))
+        if self.stats is not None:
+            n_tok = sum(s.num_new_tokens for s in seqs)
+            self.stats.add(kind, "prep", t1 - t0)
+            self.stats.add(kind, "device", time.perf_counter() - t1, n_tok)
         return [int(tokens[i]) for i in sampled], sampled
 
     def run_burst(self, seqs: list[Sequence], w: int) -> list[list[int]]:
         """Execute a W-step decode burst; returns tokens as [w][len(seqs)]."""
+        t0 = time.perf_counter()
         s_pad = bucket(len(seqs))
         p_pad = bucket(max(len(s.block_table) for s in seqs))
         tp = np.zeros((2, s_pad), np.int32)
@@ -385,9 +394,13 @@ class ModelRunner:
         meta = jax.tree.map(jnp.asarray, BurstMeta(tp=tp, pages=pages, temps=temps))
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1
+        t1 = time.perf_counter()
         tokens_dev, self.kv_pages = self._burst(
             self.params, self.kv_pages, meta, key, w
         )
         tokens = np.asarray(jax.device_get(tokens_dev))  # [w, s_pad]
+        if self.stats is not None:
+            self.stats.add("burst", "prep", t1 - t0)
+            self.stats.add("burst", "device", time.perf_counter() - t1, w * len(seqs))
         n = len(seqs)
         return [[int(t) for t in row[:n]] for row in tokens]

@@ -138,19 +138,27 @@ class Scheduler:
 
         Eligible only when every scheduled sequence is a pure decode
         (num_new == 1) and nothing is waiting (bursting must not starve
-        admissions).  W is capped so no sequence outgrows its already
-        allocated block table: burst writes reach position len+W-2, so
-        W <= table_capacity - len + 1 per sequence.  The growing tail block
-        is always exclusively owned (prefix cache shares only full blocks),
-        so in-burst KV writes cannot corrupt shared blocks.
+        admissions).  W is capped so no sequence outgrows its allocated block
+        table: burst writes reach position len+W-2, so
+        W <= table_capacity - len + 1 per sequence.  Sequences short of
+        capacity get one block *reserved* up front (with many lanes, some
+        sequence is always near a block boundary — without the reserve the
+        min-capacity cap collapses W to 1 and every decode pays a full host
+        round-trip).  The growing/reserved tail block is always exclusively
+        owned (prefix cache shares only full blocks), so in-burst KV writes
+        cannot corrupt shared blocks.
         """
         if w_max < 2 or self.waiting:
             return 0
         if any(s.num_new_tokens != 1 for s in seqs):
             return 0
         w = w_max
+        bs = self.block_manager.block_size
         for s in seqs:
-            capacity = len(s.block_table) * self.block_manager.block_size
+            capacity = len(s.block_table) * bs
+            if capacity - len(s) + 1 < w_max:
+                if self.block_manager.reserve_append_block(s):
+                    capacity += bs
             w = min(w, capacity - len(s) + 1)
         return w if w >= 2 else 0
 
@@ -168,6 +176,12 @@ class Scheduler:
                 if hit_eos or seq.num_completion_tokens == seq.max_tokens or \
                         len(seq) >= self.max_model_len:
                     seq.status = SequenceStatus.FINISHED
+                    # register hashes of blocks that filled inside this burst
+                    # BEFORE releasing them: the reference hashes blocks as
+                    # they fill (may_append), so its lazily-freed blocks stay
+                    # prefix-hittable after the sequence finishes
+                    seq.num_cached_tokens = len(seq) - 1
+                    self.block_manager.commit_full_blocks(seq)
                     self.block_manager.deallocate(seq)
                     self.running.remove(seq)
                     break

@@ -39,6 +39,18 @@ from nanovllm_tpu.ops.kv_cache import write_kv_pages
 from nanovllm_tpu.ops.quant_matmul import quant_linear
 
 
+# Llama-family architectures sharing this decoder body, keyed by HF
+# model_type.  Flags: (qk_norm, attention_bias).  The reference supports only
+# Qwen3 (SURVEY.md §2.1); the others are the same GQA/SwiGLU/pre-norm
+# structure minus per-head QK-Norm and/or plus qkv bias.
+SUPPORTED_ARCHS: dict[str, tuple[bool, bool]] = {
+    "qwen3": (True, False),
+    "qwen2": (False, True),   # Qwen2/2.5: qkv bias, no QK-Norm
+    "llama": (False, False),
+    "mistral": (False, False),
+}
+
+
 @dataclass(frozen=True)
 class ModelSpec:
     """Static model hyperparameters (hashable; safe to close over in jit)."""
@@ -55,12 +67,26 @@ class ModelSpec:
     tie_embeddings: bool
     dtype: str = "bfloat16"
     tp_size: int = 1
+    qk_norm: bool = True          # Qwen3 per-head QK RMSNorm
+    attention_bias: bool = False  # Qwen2-style qkv bias
 
     @classmethod
     def from_hf(cls, hf_config, tp_size: int = 1, dtype: str = "bfloat16"):
         head_dim = getattr(hf_config, "head_dim", None) or (
             hf_config.hidden_size // hf_config.num_attention_heads
         )
+        model_type = getattr(hf_config, "model_type", "qwen3")
+        if model_type not in SUPPORTED_ARCHS:
+            raise ValueError(
+                f"unsupported architecture {model_type!r}; "
+                f"supported: {sorted(SUPPORTED_ARCHS)}"
+            )
+        qk_norm, attn_bias = SUPPORTED_ARCHS[model_type]
+        attn_bias = bool(getattr(hf_config, "attention_bias", attn_bias))
+        sw = getattr(hf_config, "sliding_window", None)
+        use_sw = bool(getattr(hf_config, "use_sliding_window", model_type == "mistral"))
+        if sw and use_sw:
+            raise ValueError("sliding-window attention is not supported")
         spec = cls(
             num_layers=hf_config.num_hidden_layers,
             hidden_size=hf_config.hidden_size,
@@ -74,6 +100,8 @@ class ModelSpec:
             tie_embeddings=bool(getattr(hf_config, "tie_word_embeddings", False)),
             dtype=dtype,
             tp_size=tp_size,
+            qk_norm=qk_norm,
+            attention_bias=attn_bias,
         )
         assert spec.num_heads % tp_size == 0, "num_heads must divide tp"
         assert spec.num_kv_heads % tp_size == 0, "num_kv_heads must divide tp"
@@ -147,13 +175,16 @@ def decoder_layer(x, layer_params, kv_pages, layer, pages_per_layer, batch,
     # --- attention ---
     h = rms_norm(x, lp["input_norm"], spec.rms_eps)
     qkv = quant_linear(h, lp["qkv"], impl=attn_impl)      # [T, (q+2kv)_l]
+    if spec.attention_bias:
+        qkv = qkv + lp["qkv_b"]                           # Qwen2-style bias
     q, k, v = jnp.split(qkv, [spec.q_size_l, spec.q_size_l + spec.kv_size_l], axis=-1)
     q = q.reshape(t, spec.heads_l, spec.head_dim)
     k = k.reshape(t, spec.kv_heads_l, spec.head_dim)
     v = v.reshape(t, spec.kv_heads_l, spec.head_dim)
-    # Qwen3 QK-Norm: per-head RMSNorm before RoPE (reference qwen3.py:126-128)
-    q = rms_norm(q, lp["q_norm"], spec.rms_eps)
-    k = rms_norm(k, lp["k_norm"], spec.rms_eps)
+    if spec.qk_norm:
+        # Qwen3 QK-Norm: per-head RMSNorm before RoPE (reference qwen3.py:126-128)
+        q = rms_norm(q, lp["q_norm"], spec.rms_eps)
+        k = rms_norm(k, lp["k_norm"], spec.rms_eps)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 

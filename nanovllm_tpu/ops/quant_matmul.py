@@ -47,8 +47,11 @@ def _qmm_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, n_k, int4: bool):
         w = jnp.stack([low, high], axis=1).reshape(2 * bk2, bn)
     else:
         w = w_ref[...]                            # [BK, BN] int8
+    # MXU inputs stay in the activation dtype: int8 magnitudes (<= 127) are
+    # exactly representable in bf16, and a bf16 x bf16 -> f32 dot runs the
+    # v5e MXU at full rate where f32 x f32 is emulated in multiple passes.
     prod = lax.dot_general(
-        x.astype(jnp.float32), w.astype(jnp.float32),
+        x, w.astype(x.dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )

@@ -91,8 +91,10 @@ def _attn_kernel(
         for h in range(kvh):
             k_h = kv[:, 2 * h, :]                      # [page, hd]
             v_h = kv[:, 2 * h + 1, :]
+            # dots run in q's dtype (bf16 in production = full MXU rate;
+            # int8 KV is exact in bf16), accumulating in f32
             scores = lax.dot_general(
-                q[h].astype(jnp.float32), k_h.astype(jnp.float32),
+                q[h], k_h.astype(q.dtype),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * sm_scale                               # [QG, page]
@@ -114,7 +116,7 @@ def _attn_kernel(
                 # V dequant folds into p (cheaper: QG x page vs page x hd)
                 p = p * scale_ref[0, 2 * h + 1][None, :]
             pv = lax.dot_general(
-                p, v_h.astype(jnp.float32),
+                p.astype(q.dtype), v_h.astype(q.dtype),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                          # [QG, hd]
@@ -272,14 +274,14 @@ def ragged_paged_attention_pallas(
         # decode path: manual-DMA kernel, grid over tiles only
         in_specs = [
             pl.BlockSpec((1, kvh, qg, hd), lambda ti, *_: (ti, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ]
         inputs = [qk, kv_pages]
         scratch = [
             pltpu.VMEM((2, page_size, kvh2, hd), kv_pages.dtype),
         ]
         if kv_int8:
-            in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
             inputs.append(kv_scales)
             scratch.append(pltpu.VMEM((2, kvh2, page_size), jnp.float32))
         scratch.append(pltpu.SemaphoreType.DMA((2,)))

@@ -23,29 +23,37 @@ def make_mesh(tp_size: int, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:tp_size]), (TP_AXIS,))
 
 
-def param_pspecs(quantized: bool = False) -> dict:
+_LAYER_PSPECS = {
+    "input_norm": P(None, None),
+    "qkv": P(None, None, TP_AXIS),      # column-parallel
+    "qkv_b": P(None, TP_AXIS),          # bias shards with the output
+    "q_norm": P(None, None),
+    "k_norm": P(None, None),
+    "o": P(None, TP_AXIS, None),        # row-parallel (psum after)
+    "post_norm": P(None, None),
+    "gate_up": P(None, None, TP_AXIS),  # column-parallel
+    "down": P(None, TP_AXIS, None),     # row-parallel (psum after)
+}
+
+
+def param_pspecs(layer_keys, quantized: bool = False) -> dict:
     """PartitionSpecs matching the param pytree layout of models/qwen3.py.
 
-    Quantized linear weights are {"w", "s"} dicts; scales shard on the same
-    axis as the weight (the group axis follows the contraction axis, so a
-    row-parallel shard owns whole groups — asserted at quantize time).
+    ``layer_keys`` selects the per-layer entries actually present (model
+    families differ: QK-Norm weights, qkv bias).  Quantized linear weights are
+    {"w", "s"} dicts; scales shard on the same axis as the weight (the group
+    axis follows the contraction axis, so a row-parallel shard owns whole
+    groups — asserted at quantize time).
     """
+    quant_keys = {"qkv", "o", "gate_up", "down"} if quantized else set()
 
-    def maybe_q(spec: P) -> object:
-        return {"w": spec, "s": spec} if quantized else spec
+    def spec_of(key: str):
+        spec = _LAYER_PSPECS[key]
+        return {"w": spec, "s": spec} if key in quant_keys else spec
 
     return {
         "embed": P(TP_AXIS, None),
-        "layers": {
-            "input_norm": P(None, None),
-            "qkv": maybe_q(P(None, None, TP_AXIS)),
-            "q_norm": P(None, None),
-            "k_norm": P(None, None),
-            "o": maybe_q(P(None, TP_AXIS, None)),
-            "post_norm": P(None, None),
-            "gate_up": maybe_q(P(None, None, TP_AXIS)),
-            "down": maybe_q(P(None, TP_AXIS, None)),
-        },
+        "layers": {k: spec_of(k) for k in layer_keys},
         "final_norm": P(None),
         "lm_head": P(TP_AXIS, None),
     }
@@ -72,8 +80,12 @@ def pack_tp(arrays: list[np.ndarray], tp: int, axis: int) -> np.ndarray:
 
 
 def pspecs_for(params) -> dict:
-    """param_pspecs shaped to an actual param pytree (tied lm_head, quant)."""
-    specs = param_pspecs(quantized=isinstance(params["layers"]["qkv"], dict))
+    """param_pspecs shaped to an actual param pytree (tied lm_head, quant,
+    model-family layer keys)."""
+    specs = param_pspecs(
+        params["layers"].keys(),
+        quantized=isinstance(params["layers"]["qkv"], dict),
+    )
     if "lm_head" not in params:
         specs.pop("lm_head")
     return specs

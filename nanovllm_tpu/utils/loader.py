@@ -72,8 +72,12 @@ def assemble_params(raw: dict, spec: ModelSpec) -> dict:
         # HF stores [out, in]; we want [in, out]
         return get(name).T
 
-    layers = {k: [] for k in
-              ("input_norm", "qkv", "q_norm", "k_norm", "o", "post_norm", "gate_up", "down")}
+    keys = ["input_norm", "qkv", "o", "post_norm", "gate_up", "down"]
+    if spec.qk_norm:
+        keys += ["q_norm", "k_norm"]
+    if spec.attention_bias:
+        keys += ["qkv_b"]
+    layers = {k: [] for k in keys}
     for i in range(spec.num_layers):
         p = f"model.layers.{i}."
         layers["input_norm"].append(get(p + "input_layernorm.weight"))
@@ -81,8 +85,14 @@ def assemble_params(raw: dict, spec: ModelSpec) -> dict:
             [linear(p + "self_attn.q_proj.weight"),
              linear(p + "self_attn.k_proj.weight"),
              linear(p + "self_attn.v_proj.weight")], tp, axis=1))
-        layers["q_norm"].append(get(p + "self_attn.q_norm.weight"))
-        layers["k_norm"].append(get(p + "self_attn.k_norm.weight"))
+        if spec.attention_bias:
+            layers["qkv_b"].append(pack_tp(
+                [get(p + "self_attn.q_proj.bias"),
+                 get(p + "self_attn.k_proj.bias"),
+                 get(p + "self_attn.v_proj.bias")], tp, axis=0))
+        if spec.qk_norm:
+            layers["q_norm"].append(get(p + "self_attn.q_norm.weight"))
+            layers["k_norm"].append(get(p + "self_attn.k_norm.weight"))
         layers["o"].append(linear(p + "self_attn.o_proj.weight"))
         layers["post_norm"].append(get(p + "post_attention_layernorm.weight"))
         layers["gate_up"].append(pack_tp(
@@ -143,18 +153,22 @@ def init_random_params(seed: int, spec: ModelSpec, scale: float = 0.02) -> dict:
     def ones(*shape):
         return np.ones(shape, dtype=dt)
 
+    layers = {
+        "input_norm": ones(L, H),
+        "qkv": w(L, H, q_sz + 2 * kv_sz),
+        "o": w(L, q_sz, H),
+        "post_norm": ones(L, H),
+        "gate_up": w(L, H, 2 * I),
+        "down": w(L, I, H),
+    }
+    if spec.qk_norm:
+        layers["q_norm"] = ones(L, hd)
+        layers["k_norm"] = ones(L, hd)
+    if spec.attention_bias:
+        layers["qkv_b"] = w(L, q_sz + 2 * kv_sz)
     params = {
         "embed": w(V, H),
-        "layers": {
-            "input_norm": ones(L, H),
-            "qkv": w(L, H, q_sz + 2 * kv_sz),
-            "q_norm": ones(L, hd),
-            "k_norm": ones(L, hd),
-            "o": w(L, q_sz, H),
-            "post_norm": ones(L, H),
-            "gate_up": w(L, H, 2 * I),
-            "down": w(L, I, H),
-        },
+        "layers": layers,
         "final_norm": ones(H),
     }
     if not spec.tie_embeddings:
