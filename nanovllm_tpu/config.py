@@ -56,7 +56,6 @@ class Config:
     # reference's CUDA-Graph decode replay (model_runner.py:640-715) plus the
     # host-overhead amortization a single-controller design needs.
     decode_burst: int = 8
-    decode_logprobs: bool = False
 
     def __post_init__(self):
         # Any positive size works for the control plane; the Pallas paged

@@ -232,10 +232,15 @@ def forward_local(params, kv_pages, batch, segments, spec: ModelSpec, axis_name,
 
 
 def compute_logits_local(params, hidden_sel, spec: ModelSpec):
-    """Local vocab-shard logits for selected positions: [S, V_l] in fp32."""
+    """Local vocab-shard logits for selected positions: [S, V_l] in fp32.
+
+    The dot runs in the model dtype with fp32 accumulation (the reference
+    computes logits in model dtype too, embed_head.py:205); casting the
+    [V, H] head to fp32 would push the matmul onto the emulated-f32 MXU path.
+    """
     lm = params["embed"] if spec.tie_embeddings else params["lm_head"]
     return jnp.einsum(
-        "sh,vh->sv", hidden_sel.astype(jnp.float32), lm.astype(jnp.float32)
+        "sh,vh->sv", hidden_sel, lm, preferred_element_type=jnp.float32
     )
 
 

@@ -107,6 +107,99 @@ def quant_matmul_pallas(
 
 
 # ---------------------------------------------------------------------------
+# W8A8: int8 x int8 -> int32 MXU matmul (v5e runs int8 at 2x the bf16 rate;
+# there is no fp8 MXU on v5e, so int8 is the TPU-native "8-bit linear").
+# Weights: per-output-channel symmetric scales.  Activations: dynamic
+# per-token symmetric scales, quantized on the fly (XLA fuses the quant pass
+# into the preceding norm).  out = (x_q @ w_q) * sx[:, None] * sw[None, :].
+# ---------------------------------------------------------------------------
+
+
+def _qmm_a8_kernel(x_ref, w_ref, sx_ref, sw_ref, out_ref, acc_ref, *, n_k):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += lax.dot_general(
+        x_ref[...], w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        scaled = acc_ref[...].astype(jnp.float32) * sx_ref[...] * sw_ref[...]
+        out_ref[...] = scaled.astype(out_ref.dtype)
+
+
+def quant_matmul_a8_pallas(
+    x_q: jnp.ndarray,     # [T, K] int8 activations
+    sx: jnp.ndarray,      # [T, 1] float32 per-token scales
+    w_q: jnp.ndarray,     # [K, N] int8
+    sw: jnp.ndarray,      # [1, N] float32 per-channel scales
+    *,
+    out_dtype=jnp.bfloat16,
+    block_t: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    t, k = x_q.shape
+    n = w_q.shape[1]
+    bt = min(block_t, t)
+    assert t % bt == 0, "activation rows must be bucketed to a multiple of bt"
+    bn = block_n
+    while n % bn:
+        bn //= 2
+    bk = block_k
+    while k % bk:
+        bk //= 2
+    n_k = k // bk
+
+    return pl.pallas_call(
+        functools.partial(_qmm_a8_kernel, n_k=n_k),
+        grid=(t // bt, n // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((bt, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((bt, 1), lambda i, j, kk: (i, 0)),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bt, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((t, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bt, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x_q, w_q, sx, sw)
+
+
+def quantize_activations(x: jnp.ndarray):
+    """Dynamic per-token symmetric int8 quantization: (x_q [T,K], sx [T,1])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-8) / 127.0
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127)
+    return x_q.astype(jnp.int8), sx
+
+
+def quantize_weight_a8(w, group_unused=None):
+    """Per-output-channel symmetric int8 of [..., K, N] (numpy).
+
+    Returns (w_q int8 [..., K, N], sw f32 [..., 1, N]).
+    """
+    import numpy as np
+
+    w = np.asarray(w, dtype=np.float32)
+    amax = np.abs(w).max(axis=-2, keepdims=True)        # [..., 1, N]
+    sw = np.maximum(amax, 1e-8) / 127.0
+    q = np.rint(w / sw).clip(-127, 127).astype(np.int8)
+    return q, sw.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
 # Host-side quantization + jnp reference path
 # ---------------------------------------------------------------------------
 
@@ -152,11 +245,25 @@ def dequant_weight(w_q: jnp.ndarray, scales: jnp.ndarray, *, int4: bool = False,
 def quant_linear(x: jnp.ndarray, w, *, impl: str = "ref") -> jnp.ndarray:
     """Linear layer dispatch: plain array or quantized {"w", "s"} dict.
 
-    int4 is detected from the shape relation: packed int4 stores K//2 rows
-    while scales always describe K//GROUP groups.
+    Scheme detection from shapes alone (the param pytree carries no static
+    tags): W8A8 stores per-channel scales with one fewer dim than the weight
+    ([N] vs the group-quant [K//GROUP, N]); int4 is detected from the shape
+    relation (packed int4 stores K//2 rows while scales always describe
+    K//GROUP groups).
     """
     if not isinstance(w, dict):
         return x @ w
+    if w["s"].ndim == w["w"].ndim - 1:                  # W8A8 per-channel
+        x_q, sx = quantize_activations(x)
+        sw = w["s"][None, :]
+        if impl == "pallas":
+            return quant_matmul_a8_pallas(x_q, sx, w["w"], sw, out_dtype=x.dtype)
+        prod = lax.dot_general(
+            x_q.astype(jnp.int32), w["w"].astype(jnp.int32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (prod.astype(jnp.float32) * sx * sw).astype(x.dtype)
     int4 = w["w"].shape[-2] != w["s"].shape[-2] * GROUP
     if impl == "pallas":
         return quant_matmul_pallas(x, w["w"], w["s"], int4=int4)

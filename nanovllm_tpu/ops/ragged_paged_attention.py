@@ -34,6 +34,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -1e30
 
+# Decode kernel: KV pages fetched+processed per loop iteration.  Raising this
+# widens the per-head dots and cuts loop-iteration count at the price of VMEM
+# (2 * npp * page bytes) and tail-group fetch waste on short sequences.
+import os as _os
+
+DECODE_PAGES_PER_ITER = int(_os.environ.get("NVT_DECODE_NPP", "4"))
+
 
 def _attn_kernel(
     # scalar prefetch
@@ -64,7 +71,12 @@ def _attn_kernel(
     b = pl.program_id(1)
     seq = tile_seq_ref[t]
     kv_len = kv_lens_ref[seq]
-    num_blocks = pl.cdiv(kv_len, page_size)
+    # causal extent of THIS tile: its last query token sees kv positions
+    # < tile_kvpos + q_tile.  Pages past that are never visible — skipping
+    # them here (and clamping their fetch in the index_map) makes chunked
+    # prefill O(sum of causal extents) instead of O(tiles x full context).
+    limit_t = jnp.minimum(tile_kvpos_ref[t] + q_tile, kv_len)
+    num_blocks = jnp.maximum(pl.cdiv(limit_t, page_size), 1)
 
     @pl.when(b == 0)
     def _init():
@@ -140,6 +152,7 @@ def _decode_kernel(
     page_size: int,
     pages_per_layer: int,
     kv_int8: bool,
+    npp: int,
 ):
     """Decode-mode kernel: grid (num_tiles,), one token's q heads per tile.
 
@@ -149,6 +162,13 @@ def _decode_kernel(
     the page walk is a *dynamic* fori_loop with manually double-buffered
     DMAs: grid steps = tiles only, no padded-page fetches, online softmax
     carried as loop values.
+
+    ``npp`` pages are fetched and processed per loop iteration (separate DMAs
+    into one buffer group, one wide dot per head over npp*page columns):
+    ablation showed the loop body cost is per-iteration overhead, not
+    bandwidth — ~3.8us x tiles x pages x layers was 89% of a decode step.
+    Pages past ``kv_len`` inside the last group read the page table's padding
+    entry (page 0) and are masked in the scores.
     """
     if kv_int8:
         (q_ref, kv_hbm, scale_hbm, out_ref,
@@ -161,77 +181,122 @@ def _decode_kernel(
     seq = tile_seq_ref[t]
     kv_len = kv_lens_ref[seq]
     num_blocks = pl.cdiv(kv_len, page_size)
+    num_groups = pl.cdiv(num_blocks, npp)
     layer = layer_ref[0]
+    gp = npp * page_size  # kv columns per group
 
-    def kv_dma(slot, b):
+    def copies(slot, g, j):
+        b = jnp.minimum(g * npp + j, num_blocks - 1)
         gpage = layer * pages_per_layer + page_indices_ref[seq, b]
-        return pltpu.make_async_copy(kv_hbm.at[gpage], kv_buf.at[slot], sems.at[slot])
-
-    def scale_dma(slot, b):
-        gpage = layer * pages_per_layer + page_indices_ref[seq, b]
-        return pltpu.make_async_copy(
-            scale_hbm.at[gpage], scale_buf.at[slot], scale_sems.at[slot]
-        )
-
-    def start(slot, b):
-        kv_dma(slot, b).start()
+        out = [pltpu.make_async_copy(
+            kv_hbm.at[gpage], kv_buf.at[slot, j], sems.at[slot, j]
+        )]
         if kv_int8:
-            scale_dma(slot, b).start()
+            # scale scratch is [2kvh, npp*page] per slot: page j lands in a
+            # lane-aligned column window, so the compute side gets head-major
+            # scales by static slicing alone (a [npp, 2kvh, page] layout
+            # would need a 3D strided gather, which Mosaic cannot lower, and
+            # a [2kvh, npp, page] one a width-1 sublane-dim DMA slice, which
+            # violates the (8, 128) tiling)
+            out.append(pltpu.make_async_copy(
+                scale_hbm.at[gpage],
+                scale_buf.at[slot, :, pl.ds(j * page_size, page_size)],
+                scale_sems.at[slot, j],
+            ))
+        return out
+
+    # tail-group page indices clamp to the last valid page (see ``copies``):
+    # every buffer slot always holds real, finite data, so masked columns
+    # contribute exact zeros to the p @ v dot (a predicated fetch would leave
+    # uninitialized VMEM, and 0 * NaN = NaN)
+    def start(slot, g):
+        for j in range(npp):
+            for c in copies(slot, g, j):
+                c.start()
+
+    def wait(slot, g):
+        for j in range(npp):
+            for c in copies(slot, g, j):
+                c.wait()
 
     start(0, 0)
     q = q_ref[0]                                        # [kvh, QG, hd]
     kvh, qg, hd = q.shape
+    r = kvh * qg                                        # stacked score rows
+    d = 2 * kvh * hd                                    # interleaved KV row width
     limit = jnp.minimum(tile_kvpos_ref[t] + 1, kv_len)  # one token per tile
 
-    def body(b, carry):
-        m, l, acc = carry                               # [kvh,QG] [kvh,QG] [kvh,QG,hd]
-        slot = jax.lax.rem(b, 2)
+    # Block-diagonal q: row block h carries q[h] at column block 2h (the K
+    # head) and zeros elsewhere — ONE [r, d] x [d, cols] MXU dot then yields
+    # every head's scores stacked as [r, cols].  FLOPs inflate by 2*kvh, but
+    # per-head [QG, hd] dots leave the MXU idle and pay ~8 VPU-bound softmax
+    # passes per page group; stacking makes both one wide pass (measured: the
+    # per-head kernel was 89% of a decode step at 5x speed-of-light).
+    q_bd = jnp.concatenate(
+        [
+            jnp.pad(q[h], ((0, 0), (2 * h * hd, (2 * (kvh - h) - 1) * hd)))
+            for h in range(kvh)
+        ],
+        axis=0,
+    )                                                   # [r, d]
+    # fold the softmax scale into q once per tile instead of per group
+    q_bd = (q_bd.astype(jnp.float32) * sm_scale).astype(q.dtype)
 
-        @pl.when(b + 1 < num_blocks)
+    def stack_scales(sc, first):
+        # [2kvh, gp] -> [r, gp] rows grouped per head (K: 2h, V: 2h+1)
+        per_head = sc.reshape(kvh, 2, gp)[:, first, :]  # static slice
+        return jnp.broadcast_to(per_head[:, None, :], (kvh, qg, gp)).reshape(r, gp)
+
+    def body(g, carry):
+        m, l, acc = carry                               # [r] [r] [r, hd]
+        slot = jax.lax.rem(g, 2)
+
+        @pl.when(g + 1 < num_groups)
         def _():
-            start(jax.lax.rem(b + 1, 2), b + 1)
+            start(jax.lax.rem(g + 1, 2), g + 1)
 
-        kv_dma(slot, b).wait()
+        wait(slot, g)
+        # one cast feeds both dots (int8 KV -> exact in bf16)
+        kv = kv_buf[slot].reshape(gp, d).astype(q.dtype)
+        col = lax.broadcasted_iota(jnp.int32, (1, gp), 1) + g * gp
+        mask = col < limit                              # [1, gp]
+
+        scores = lax.dot_general(
+            q_bd, kv,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # [r, gp]
         if kv_int8:
-            scale_dma(slot, b).wait()
-        kv = kv_buf[slot]                               # [page, 2kvh, hd]
-        col = lax.broadcasted_iota(jnp.int32, (1, page_size), 1) + b * page_size
-        mask = col < limit                              # [1, page]
+            scores = scores * stack_scales(scale_buf[slot], 0)
+        scores = jnp.where(mask, scores, MASK_VALUE)
 
-        new_m, new_l, new_acc = [], [], []
-        for h in range(kvh):
-            scores = lax.dot_general(
-                q[h].astype(jnp.float32), kv[:, 2 * h, :].astype(jnp.float32),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * sm_scale                                # [QG, page]
-            if kv_int8:
-                scores = scores * scale_buf[slot, 2 * h][None, :]
-            scores = jnp.where(mask, scores, MASK_VALUE)
+        m_new = jnp.maximum(m, jnp.max(scores, axis=-1))
+        alpha = jnp.where(m == -jnp.inf, 0.0, jnp.exp(m - m_new))
+        p = jnp.where(mask, jnp.exp(scores - m_new[:, None]), 0.0)
+        l_new = l * alpha + jnp.sum(p, axis=-1)
+        if kv_int8:
+            p = p * stack_scales(scale_buf[slot], 1)
+        full = lax.dot_general(
+            p.astype(q.dtype), kv,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # [r, d]
+        # extract each head's V block from the diagonal
+        pv = jnp.concatenate(
+            [
+                full[h * qg:(h + 1) * qg, (2 * h + 1) * hd:(2 * h + 2) * hd]
+                for h in range(kvh)
+            ],
+            axis=0,
+        )                                               # [r, hd]
+        return m_new, l_new, acc * alpha[:, None] + pv
 
-            m_prev, l_prev, acc_prev = m[h], l[h], acc[h]
-            m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1))
-            alpha = jnp.where(m_prev == -jnp.inf, 0.0, jnp.exp(m_prev - m_new))
-            p = jnp.where(mask, jnp.exp(scores - m_new[:, None]), 0.0)
-            l_new = l_prev * alpha + jnp.sum(p, axis=-1)
-            if kv_int8:
-                p = p * scale_buf[slot, 2 * h + 1][None, :]
-            pv = lax.dot_general(
-                p, kv[:, 2 * h + 1, :].astype(jnp.float32),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            new_m.append(m_new)
-            new_l.append(l_new)
-            new_acc.append(acc_prev * alpha[:, None] + pv)
-        return jnp.stack(new_m), jnp.stack(new_l), jnp.stack(new_acc)
-
-    m0 = jnp.full((kvh, qg), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((kvh, qg), jnp.float32)
-    acc0 = jnp.zeros((kvh, qg, hd), jnp.float32)
-    m, l, acc = lax.fori_loop(0, num_blocks, body, (m0, l0, acc0))
+    m0 = jnp.full((r,), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((r,), jnp.float32)
+    acc0 = jnp.zeros((r, hd), jnp.float32)
+    m, l, acc = lax.fori_loop(0, num_groups, body, (m0, l0, acc0))
     denom = jnp.where(l == 0.0, 1.0, l)
-    out_ref[0] = (acc / denom[:, :, None]).astype(out_ref.dtype)
+    out_ref[0] = (acc / denom[:, None]).reshape(kvh, qg, hd).astype(out_ref.dtype)
 
 
 def ragged_paged_attention_pallas(
@@ -271,22 +336,24 @@ def ragged_paged_attention_pallas(
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
 
     if q_tile == 1:
-        # decode path: manual-DMA kernel, grid over tiles only
+        # decode path: manual-DMA kernel, grid over tiles only; npp pages per
+        # loop iteration (iteration overhead, not bandwidth, bounds the loop)
+        npp = DECODE_PAGES_PER_ITER
         in_specs = [
             pl.BlockSpec((1, kvh, qg, hd), lambda ti, *_: (ti, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ]
         inputs = [qk, kv_pages]
         scratch = [
-            pltpu.VMEM((2, page_size, kvh2, hd), kv_pages.dtype),
+            pltpu.VMEM((2, npp, page_size, kvh2, hd), kv_pages.dtype),
         ]
         if kv_int8:
             in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
             inputs.append(kv_scales)
-            scratch.append(pltpu.VMEM((2, kvh2, page_size), jnp.float32))
-        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+            scratch.append(pltpu.VMEM((2, kvh2, npp * page_size), jnp.float32))
+        scratch.append(pltpu.SemaphoreType.DMA((2, npp)))
         if kv_int8:
-            scratch.append(pltpu.SemaphoreType.DMA((2,)))
+            scratch.append(pltpu.SemaphoreType.DMA((2, npp)))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(nt,),
@@ -300,6 +367,7 @@ def ragged_paged_attention_pallas(
             page_size=page_size,
             pages_per_layer=pages_per_layer,
             kv_int8=kv_int8,
+            npp=npp,
         )
         out = pl.pallas_call(
             kernel,
@@ -318,14 +386,26 @@ def ragged_paged_attention_pallas(
     def q_map(ti, bi, *_refs):
         return (ti, 0, 0, 0)
 
+    def _clamped_page(ti, bi, tile_seq_ref, tile_kvpos_ref, kv_lens_ref,
+                      page_indices_ref):
+        # clamp past-causal-extent grid steps to the tile's last visible page:
+        # Pallas skips refetching when consecutive steps map to the same
+        # block, so skipped pages cost no HBM bandwidth
+        seq = tile_seq_ref[ti]
+        limit_t = jnp.minimum(tile_kvpos_ref[ti] + q_tile, kv_lens_ref[seq])
+        last = jnp.maximum(pl.cdiv(limit_t, page_size) - 1, 0)
+        return page_indices_ref[seq, jnp.minimum(bi, last)]
+
     def kv_map(ti, bi, layer_ref, tile_seq_ref, tile_kvpos_ref, kv_lens_ref,
                page_indices_ref):
-        page = page_indices_ref[tile_seq_ref[ti], bi]
+        page = _clamped_page(ti, bi, tile_seq_ref, tile_kvpos_ref, kv_lens_ref,
+                             page_indices_ref)
         return (layer_ref[0] * pages_per_layer + page, 0, 0, 0)
 
     def scale_map(ti, bi, layer_ref, tile_seq_ref, tile_kvpos_ref, kv_lens_ref,
                   page_indices_ref):
-        page = page_indices_ref[tile_seq_ref[ti], bi]
+        page = _clamped_page(ti, bi, tile_seq_ref, tile_kvpos_ref, kv_lens_ref,
+                             page_indices_ref)
         return (layer_ref[0] * pages_per_layer + page, 0, 0)
 
     in_specs = [

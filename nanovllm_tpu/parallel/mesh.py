@@ -36,24 +36,32 @@ _LAYER_PSPECS = {
 }
 
 
-def param_pspecs(layer_keys, quantized: bool = False) -> dict:
-    """PartitionSpecs matching the param pytree layout of models/qwen3.py.
+def param_pspecs(layers_tree: dict) -> dict:
+    """PartitionSpecs matching an actual param pytree's ``layers`` subtree.
 
-    ``layer_keys`` selects the per-layer entries actually present (model
-    families differ: QK-Norm weights, qkv bias).  Quantized linear weights are
-    {"w", "s"} dicts; scales shard on the same axis as the weight (the group
-    axis follows the contraction axis, so a row-parallel shard owns whole
-    groups — asserted at quantize time).
+    Keys present vary by model family (QK-Norm weights, qkv bias).  Quantized
+    linear weights are {"w", "s"} dicts:
+      * group-quant scales ([L, K//G, N], same rank as the weight) shard on
+        the same axis as the weight — the group axis follows the contraction
+        axis, so a row-parallel shard owns whole groups (asserted at
+        quantize time);
+      * W8A8 per-channel scales ([L, N], one rank lower) follow the OUTPUT
+        axis: sharded for column-parallel weights, replicated for
+        row-parallel ones.
     """
-    quant_keys = {"qkv", "o", "gate_up", "down"} if quantized else set()
 
-    def spec_of(key: str):
+    def spec_of(key: str, val):
         spec = _LAYER_PSPECS[key]
-        return {"w": spec, "s": spec} if key in quant_keys else spec
+        if not isinstance(val, dict):
+            return spec
+        if val["s"].ndim == val["w"].ndim:
+            return {"w": spec, "s": spec}
+        out_sharded = spec[-1] == TP_AXIS  # column-parallel packs
+        return {"w": spec, "s": P(None, TP_AXIS) if out_sharded else P(None, None)}
 
     return {
         "embed": P(TP_AXIS, None),
-        "layers": {k: spec_of(k) for k in layer_keys},
+        "layers": {k: spec_of(k, v) for k, v in layers_tree.items()},
         "final_norm": P(None),
         "lm_head": P(TP_AXIS, None),
     }
@@ -82,10 +90,7 @@ def pack_tp(arrays: list[np.ndarray], tp: int, axis: int) -> np.ndarray:
 def pspecs_for(params) -> dict:
     """param_pspecs shaped to an actual param pytree (tied lm_head, quant,
     model-family layer keys)."""
-    specs = param_pspecs(
-        params["layers"].keys(),
-        quantized=isinstance(params["layers"]["qkv"], dict),
-    )
+    specs = param_pspecs(params["layers"])
     if "lm_head" not in params:
         specs.pop("lm_head")
     return specs

@@ -114,16 +114,27 @@ QUANTIZED_LAYER_WEIGHTS = ("qkv", "o", "gate_up", "down")
 
 
 def quantize_params(params: dict, mode: str, tp: int) -> dict:
-    """Weight-only quantization of the decoder linears (embed/lm_head/norms
-    stay high precision).  ``mode``: "int8" or "int4" (group=128 along the
-    contraction axis; see ops/quant_matmul.py)."""
-    from nanovllm_tpu.ops.quant_matmul import GROUP, quantize_weight
+    """Quantization of the decoder linears (embed/lm_head/norms stay high
+    precision).  ``mode``:
+      "int8" / "int4" — weight-only, group=128 along the contraction axis;
+      "w8a8"          — int8 weights per-channel + dynamic int8 activations
+                        (int8 MXU; see ops/quant_matmul.py).
+    """
+    from nanovllm_tpu.ops.quant_matmul import (
+        GROUP,
+        quantize_weight,
+        quantize_weight_a8,
+    )
 
-    assert mode in ("int8", "int4"), mode
+    assert mode in ("int8", "int4", "w8a8"), mode
     int4 = mode == "int4"
     layers = dict(params["layers"])
     for name in QUANTIZED_LAYER_WEIGHTS:
         w = layers[name]                       # [L, K, N]
+        if mode == "w8a8":
+            wq, sw = quantize_weight_a8(w)
+            layers[name] = {"w": wq, "s": sw[:, 0, :]}  # scales [L, N]
+            continue
         k = w.shape[1]
         if name in ("o", "down"):
             # row-parallel: each shard's K range must align to the group

@@ -15,8 +15,12 @@ from nanovllm_tpu import LLM
 from nanovllm_tpu.ops.quant_matmul import (
     GROUP,
     dequant_weight,
+    quant_linear,
+    quant_matmul_a8_pallas,
     quant_matmul_pallas,
+    quantize_activations,
     quantize_weight,
+    quantize_weight_a8,
 )
 
 
@@ -67,6 +71,48 @@ class TestQuantMatmulKernel:
         ref = x @ dequant_weight(jnp.asarray(q), jnp.asarray(s), dtype=jnp.float32)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    rtol=2e-3, atol=2e-3)
+
+
+class TestW8A8:
+    def test_kernel_matches_int_ref(self):
+        """Pallas int8 x int8 kernel must match the integer reference bit-for-
+        bit up to the f32 output scaling."""
+        rng = np.random.default_rng(4)
+        t, k, n = 16, 256, 384
+        x = jnp.asarray(rng.standard_normal((t, k)).astype(np.float32))
+        w = rng.standard_normal((k, n)).astype(np.float32) * 0.1
+        wq, sw = quantize_weight_a8(w)
+        x_q, sx = quantize_activations(x)
+        ours = quant_matmul_a8_pallas(
+            x_q, sx, jnp.asarray(wq), jnp.asarray(sw), out_dtype=jnp.float32,
+            interpret=True,
+        )
+        ref = (
+            x_q.astype(np.int32) @ wq.astype(np.int32)
+        ).astype(np.float32) * np.asarray(sx) * sw
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-6, atol=1e-6)
+
+    def test_quant_linear_dispatch_accuracy(self):
+        """W8A8 through quant_linear stays close to the fp matmul."""
+        rng = np.random.default_rng(5)
+        t, k, n = 8, 128, 256
+        x = jnp.asarray(rng.standard_normal((t, k)).astype(np.float32) * 0.5)
+        w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+        wq, sw = quantize_weight_a8(w)
+        packed = {"w": jnp.asarray(wq), "s": jnp.asarray(sw[0])}
+        ours = quant_linear(x, packed, impl="ref")
+        ref = np.asarray(x) @ w
+        # int8 x int8 with dynamic per-token scales: ~1% relative error
+        err = np.abs(np.asarray(ours) - ref)
+        assert np.median(err / (np.abs(ref) + 1e-3)) < 0.02
+
+    def test_w8a8_ppl_close_to_fp(self, tiny_ckpt):
+        path, _ = tiny_ckpt
+        rng = np.random.default_rng(9)
+        docs = [[int(x) for x in rng.integers(3, 120, size=48)] for _ in range(3)]
+        ppl_fp = make_llm(path).perplexity(docs)
+        ppl_a8 = make_llm(path, "w8a8").perplexity(docs)
+        assert abs(ppl_a8 - ppl_fp) / ppl_fp < 0.08, (ppl_fp, ppl_a8)
 
 
 @pytest.fixture(scope="module")
