@@ -30,6 +30,12 @@ class Config:
     max_model_len: int = 40960
     gpu_memory_utilization: float = 0.9  # name kept for API parity; HBM here
     tensor_parallel_size: int = 1
+    # Data parallelism over a second mesh axis ("dp", outermost — DCN across
+    # hosts in a multi-host deployment; the reference is single-node TP-only,
+    # SURVEY.md §2.4/§5.8).  One logical scheduler assigns each sequence to a
+    # dp group; each group owns its own KV-cache partition and block manager;
+    # no cross-dp collectives exist in the step program.
+    data_parallel_size: int = 1
     enforce_eager: bool = False  # accepted for parity; JAX is always compiled
     kvcache_block_size: int = 256
     num_kvcache_blocks: int = -1  # -1: derived from free HBM at engine init
@@ -63,6 +69,7 @@ class Config:
         # where that backend is selected).
         assert self.kvcache_block_size > 0
         assert 1 <= self.tensor_parallel_size <= 64
+        assert self.data_parallel_size >= 1
         assert self.max_num_batched_tokens >= 1
         if self.hf_config is None:
             from transformers import AutoConfig

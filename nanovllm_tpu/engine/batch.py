@@ -93,11 +93,40 @@ def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
+def step_layout(seqs: list[Sequence], block_size: int) -> tuple[int, int, int, int, int]:
+    """Bucketed layout tuple (dec_end, p_start, p_end, s_pad, p_pad) for the
+    scheduled sequences.  Segment boundaries are part of the jit cache key,
+    so every count is bucketed (pow2) — otherwise each distinct
+    decode/prefill mix would compile a new program."""
+    decode_idx = [i for i, s in enumerate(seqs) if s.num_new_tokens == 1]
+    prefill_idx = [i for i, s in enumerate(seqs) if s.num_new_tokens != 1]
+    dec_end = bucket(len(decode_idx)) if decode_idx else 0
+    p_start = _round_up(dec_end, PREFILL_TILE) if prefill_idx else dec_end
+    n_tiles = sum(
+        _round_up(seqs[i].num_new_tokens, PREFILL_TILE) // PREFILL_TILE
+        for i in prefill_idx
+    )
+    n_tiles = bucket(n_tiles, minimum=1) if prefill_idx else 0
+    p_end = p_start + n_tiles * PREFILL_TILE
+    s_pad = bucket(len(seqs))
+    p_pad = bucket(max((len(s.block_table) for s in seqs), default=1))
+    return dec_end, p_start, p_end, s_pad, p_pad
+
+
+def merge_layouts(layouts) -> tuple[int, int, int, int, int]:
+    """Elementwise max — the common (forced) layout for dp-stacked groups."""
+    return tuple(max(vals) for vals in zip(*layouts))
+
+
 def prepare_step_batch(
     seqs: list[Sequence],
     block_size: int,
+    layout: tuple[int, int, int, int, int] | None = None,
 ) -> tuple[StepBatch, list[int], tuple[int, int, int]]:
     """Build the padded StepBatch for the scheduled sequences.
+
+    ``layout`` forces the bucketed dims (dp-stacked groups must agree on
+    shapes); None computes this group's natural layout.
 
     Returns (batch, sampled_seq_indices, segments):
       * sampled_seq_indices — positions in ``seqs`` whose scheduled chunk
@@ -108,20 +137,10 @@ def prepare_step_batch(
     decode_idx = [i for i, s in enumerate(seqs) if s.num_new_tokens == 1]
     prefill_idx = [i for i, s in enumerate(seqs) if s.num_new_tokens != 1]
 
-    # segment boundaries are part of the jit cache key: bucket them (pow2)
-    # or every distinct decode/prefill count would compile a new program
-    dec_end = bucket(len(decode_idx)) if decode_idx else 0
-    p_start = _round_up(dec_end, PREFILL_TILE) if prefill_idx else dec_end
-    n_tiles = sum(
-        _round_up(seqs[i].num_new_tokens, PREFILL_TILE) // PREFILL_TILE
-        for i in prefill_idx
-    )
-    n_tiles = bucket(n_tiles, minimum=1) if prefill_idx else 0
-    p_end = p_start + n_tiles * PREFILL_TILE
+    if layout is None:
+        layout = step_layout(seqs, block_size)
+    dec_end, p_start, p_end, s_pad, p_pad = layout
     t_pad = bucket(max(p_end, 1))
-    s_pad = bucket(len(seqs))
-    max_pages = max(len(s.block_table) for s in seqs)
-    p_pad = bucket(max_pages)
 
     token_ids = np.zeros(t_pad, dtype=np.int32)
     positions = np.zeros(t_pad, dtype=np.int32)

@@ -24,7 +24,14 @@ from jax import lax
 from nanovllm_tpu.config import Config
 from typing import NamedTuple
 
-from nanovllm_tpu.engine.batch import PackedBatch, StepBatch, bucket, prepare_step_batch
+from nanovllm_tpu.engine.batch import (
+    PackedBatch,
+    StepBatch,
+    bucket,
+    merge_layouts,
+    prepare_step_batch,
+    step_layout,
+)
 from nanovllm_tpu.engine.sequence import Sequence
 from nanovllm_tpu.models.qwen3 import (
     ModelSpec,
@@ -32,6 +39,7 @@ from nanovllm_tpu.models.qwen3 import (
     forward_and_score,
 )
 from nanovllm_tpu.parallel.mesh import (
+    DP_AXIS,
     TP_AXIS,
     kv_pspec,
     make_mesh,
@@ -64,7 +72,8 @@ class ModelRunner:
         self.spec = ModelSpec.from_hf(
             config.hf_config, config.tensor_parallel_size, config.dtype
         )
-        self.mesh = make_mesh(config.tensor_parallel_size, devices)
+        self.dp = config.data_parallel_size
+        self.mesh = make_mesh(config.tensor_parallel_size, devices, self.dp)
         self.attn_impl = self._pick_attn_impl()
 
         params_np = self._load_or_init_params()
@@ -110,8 +119,10 @@ class ModelRunner:
         return load_qwen3_params(self.config.model, self.spec)
 
     def _kv_page_shape(self, num_blocks: int):
+        """[dp, L*blocks, page, 2kvh, hd] — blocks are PER dp group."""
         s = self.spec
         return (
+            self.dp,
             s.num_layers * num_blocks,
             self.config.kvcache_block_size,
             2 * s.num_kv_heads,
@@ -124,7 +135,7 @@ class ModelRunner:
 
     def _kv_pspec(self):
         if self._kv_int8:
-            return {"data": kv_pspec(), "scale": P(None, TP_AXIS, None)}
+            return {"data": kv_pspec(), "scale": P(DP_AXIS, None, TP_AXIS, None)}
         return kv_pspec()
 
     def _alloc_kv_pages(self, num_blocks: int):
@@ -136,10 +147,10 @@ class ModelRunner:
                     NamedSharding(self.mesh, kv_pspec()),
                 ),
                 "scale": jax.device_put(
-                    # [LP, 2kvh, page]: page on lanes (a [.., page, 2kvh]
+                    # [dp, LP, 2kvh, page]: page on lanes (a [.., page, 2kvh]
                     # layout lane-pads 2kvh up to 128 = 8x HBM blowup)
-                    jnp.zeros((shape[0], shape[2], shape[1]), jnp.float32),
-                    NamedSharding(self.mesh, P(None, TP_AXIS, None)),
+                    jnp.zeros((shape[0], shape[1], shape[3], shape[2]), jnp.float32),
+                    NamedSharding(self.mesh, P(DP_AXIS, None, TP_AXIS, None)),
                 ),
             }
         sharding = NamedSharding(self.mesh, kv_pspec())
@@ -209,27 +220,39 @@ class ModelRunner:
         )
         return int(num)
 
+    @staticmethod
+    def _dp_split(tree):
+        """Strip the local leading dp axis (size 1 inside shard_map)."""
+        return jax.tree.map(lambda a: a[0], tree)
+
+    @staticmethod
+    def _dp_join(tree):
+        return jax.tree.map(lambda a: a[None], tree)
+
     def _build_step(self):
         spec = self.spec
         attn_impl = self.attn_impl
         pspecs = self._pspecs
         kvspec = self._kv_pspec()
-        packed_specs = PackedBatch(*([P()] * len(PackedBatch._fields)))
+        packed_specs = PackedBatch(*([P(DP_AXIS)] * len(PackedBatch._fields)))
         mesh = self.mesh
+        split, join = self._dp_split, self._dp_join
 
         @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(1,))
         def step(params, kv_pages, packed, key, segments):
             def local(params, kv_pages, packed, key):
-                return forward_and_sample(
-                    params, kv_pages, packed.unpack(), key, spec, TP_AXIS,
-                    attn_impl, segments=segments,
+                key = jax.random.fold_in(key, lax.axis_index(DP_AXIS))
+                tokens, kv = forward_and_sample(
+                    params, split(kv_pages), split(packed).unpack(), key,
+                    spec, TP_AXIS, attn_impl, segments=segments,
                 )
+                return tokens[None], join(kv)
 
             fn = _shard_map(
                 local,
                 mesh=mesh,
                 in_specs=(pspecs, kvspec, packed_specs, P()),
-                out_specs=(P(), kvspec),
+                out_specs=(P(DP_AXIS, None), kvspec),
                 check_vma=False,
             )
             return fn(params, kv_pages, packed, key)
@@ -242,38 +265,55 @@ class ModelRunner:
         attn_impl = self.attn_impl
         pspecs = self._pspecs
         kvspec = self._kv_pspec()
-        packed_specs = PackedBatch(*([P()] * len(PackedBatch._fields)))
+        packed_specs = PackedBatch(*([P(DP_AXIS)] * len(PackedBatch._fields)))
         mesh = self.mesh
+        split, join = self._dp_split, self._dp_join
 
         @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(1,))
         def score(params, kv_pages, packed, targets, segments):
             def local(params, kv_pages, packed, targets):
-                return forward_and_score(
-                    params, kv_pages, packed.unpack(), targets, spec, TP_AXIS,
-                    attn_impl, segments=segments,
+                lps, kv = forward_and_score(
+                    params, split(kv_pages), split(packed).unpack(),
+                    targets[0], spec, TP_AXIS, attn_impl, segments=segments,
                 )
+                return lps[None], join(kv)
 
             fn = _shard_map(
                 local,
                 mesh=mesh,
-                in_specs=(pspecs, kvspec, packed_specs, P()),
-                out_specs=(P(), kvspec),
+                in_specs=(pspecs, kvspec, packed_specs, P(DP_AXIS)),
+                out_specs=(P(DP_AXIS, None), kvspec),
                 check_vma=False,
             )
             return fn(params, kv_pages, packed, targets)
 
         return score
 
+    def _group_indices(self, seqs: list[Sequence]) -> list[list[int]]:
+        return [
+            [i for i, s in enumerate(seqs) if s.dp_group == g]
+            for g in range(self.dp)
+        ]
+
+    def _stack_packed(self, per_group_batches) -> PackedBatch:
+        packed = [PackedBatch.pack(b) for b in per_group_batches]
+        return PackedBatch(*[
+            np.stack([getattr(p, f) for p in packed])
+            for f in PackedBatch._fields
+        ])
+
     def run_score(self, seqs: list[Sequence], targets_fn=None) -> np.ndarray:
-        """One scoring step over the scheduled chunks; returns logprobs [T_pad].
+        """One scoring step over the scheduled chunks (dp group 0); returns
+        logprobs [T_pad].
 
         The target of each row is the sequence's NEXT token (teacher forcing);
         rows whose position is the last token of their sequence get target 0
         and must be ignored by the caller.
         """
-        batch_np, _, segments = prepare_step_batch(
-            seqs, self.config.kvcache_block_size
-        )
+        assert all(s.dp_group == 0 for s in seqs), "scoring runs on dp group 0"
+        bs = self.config.kvcache_block_size
+        layout = step_layout(seqs, bs)
+        batch_np, _, segments = prepare_step_batch(seqs, bs, layout)
         targets = np.zeros_like(batch_np.token_ids)
         for i, seq in enumerate(seqs):
             rows = np.nonzero(batch_np.token_seq == i)[0]
@@ -281,11 +321,16 @@ class ModelRunner:
                 p = int(batch_np.positions[r])
                 if batch_np.slot_mapping[r] >= 0 and p + 1 < len(seq):
                     targets[r] = seq.token_ids[p + 1]
-        packed = jax.tree.map(jnp.asarray, PackedBatch.pack(batch_np))
+        group_batches = [batch_np] + [
+            prepare_step_batch([], bs, layout)[0] for _ in range(self.dp - 1)
+        ]
+        packed = jax.tree.map(jnp.asarray, self._stack_packed(group_batches))
+        targets_dp = np.zeros((self.dp,) + targets.shape, targets.dtype)
+        targets_dp[0] = targets
         lps_dev, self.kv_pages = self._score(
-            self.params, self.kv_pages, packed, jnp.asarray(targets), segments
+            self.params, self.kv_pages, packed, jnp.asarray(targets_dp), segments
         )
-        return np.asarray(jax.device_get(lps_dev)), batch_np
+        return np.asarray(jax.device_get(lps_dev))[0], batch_np
 
     def _build_burst(self):
         """W decode steps in one device program: lax.scan over the full
@@ -301,12 +346,16 @@ class ModelRunner:
         block_size = self.config.kvcache_block_size
         pspecs = self._pspecs
         kvspec = self._kv_pspec()
-        meta_specs = BurstMeta(*([P()] * len(BurstMeta._fields)))
+        meta_specs = BurstMeta(*([P(DP_AXIS)] * len(BurstMeta._fields)))
         mesh = self.mesh
+        split, join = self._dp_split, self._dp_join
 
         @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(1,))
         def burst(params, kv_pages, meta, key, w):
             def local(params, kv_pages, meta, key):
+                key = jax.random.fold_in(key, lax.axis_index(DP_AXIS))
+                meta = split(meta)
+                kv_pages = split(kv_pages)
                 tokens0 = meta.tp[0]
                 pos0 = meta.tp[1]
                 s = tokens0.shape[0]
@@ -342,13 +391,13 @@ class ModelRunner:
                 (_, kv_pages_out), tokens_ws = lax.scan(
                     body, (tokens0, kv_pages), jnp.arange(w, dtype=jnp.int32)
                 )
-                return tokens_ws, kv_pages_out
+                return tokens_ws[None], join(kv_pages_out)
 
             fn = _shard_map(
                 local,
                 mesh=mesh,
                 in_specs=(pspecs, kvspec, meta_specs, P()),
-                out_specs=(P(), kvspec),
+                out_specs=(P(DP_AXIS, None, None), kvspec),
                 check_vma=False,
             )
             return fn(params, kv_pages, meta, key)
@@ -360,37 +409,57 @@ class ModelRunner:
     def run(self, seqs: list[Sequence], kind: str = "step") -> tuple[list[int], list[int]]:
         """Execute one step; returns (sampled token ids, sampled seq indices)."""
         t0 = time.perf_counter()
-        batch_np, sampled, segments = prepare_step_batch(
-            seqs, self.config.kvcache_block_size
+        bs = self.config.kvcache_block_size
+        groups = self._group_indices(seqs)
+        layout = merge_layouts(
+            [step_layout([seqs[i] for i in grp], bs) for grp in groups]
         )
-        packed = jax.tree.map(jnp.asarray, PackedBatch.pack(batch_np))
+        batches, sampled, lane_of = [], [], {}
+        for g, grp in enumerate(groups):
+            b, samp_local, segments = prepare_step_batch(
+                [seqs[i] for i in grp], bs, layout
+            )
+            batches.append(b)
+            sampled.extend(grp[j] for j in samp_local)
+            for lane, i in enumerate(grp):
+                lane_of[i] = (g, lane)
+        packed = jax.tree.map(jnp.asarray, self._stack_packed(batches))
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1
         t1 = time.perf_counter()
         tokens_dev, self.kv_pages = self._step(
             self.params, self.kv_pages, packed, key, segments
         )
-        tokens = np.asarray(jax.device_get(tokens_dev))
+        tokens = np.asarray(jax.device_get(tokens_dev))  # [dp, S]
         if self.stats is not None:
             n_tok = sum(s.num_new_tokens for s in seqs)
             self.stats.add(kind, "prep", t1 - t0)
             self.stats.add(kind, "device", time.perf_counter() - t1, n_tok)
-        return [int(tokens[i]) for i in sampled], sampled
+        out = []
+        for i in sampled:
+            g, lane = lane_of[i]
+            out.append(int(tokens[g, lane]))
+        return out, sampled
 
     def run_burst(self, seqs: list[Sequence], w: int) -> list[list[int]]:
         """Execute a W-step decode burst; returns tokens as [w][len(seqs)]."""
         t0 = time.perf_counter()
-        s_pad = bucket(len(seqs))
+        groups = self._group_indices(seqs)
+        s_pad = bucket(max(len(grp) for grp in groups))
         p_pad = bucket(max(len(s.block_table) for s in seqs))
-        tp = np.zeros((2, s_pad), np.int32)
-        tp[1] = -1  # pad lanes: no KV write
-        pages = np.zeros((s_pad, p_pad), np.int32)
-        temps = np.zeros(s_pad, np.float32)
-        for i, seq in enumerate(seqs):
-            tp[0, i] = seq.last_token
-            tp[1, i] = len(seq) - 1
-            pages[i, : len(seq.block_table)] = seq.block_table
-            temps[i] = seq.temperature
+        tp = np.zeros((self.dp, 2, s_pad), np.int32)
+        tp[:, 1] = -1  # pad lanes: no KV write
+        pages = np.zeros((self.dp, s_pad, p_pad), np.int32)
+        temps = np.zeros((self.dp, s_pad), np.float32)
+        lane_of = {}
+        for g, grp in enumerate(groups):
+            for lane, i in enumerate(grp):
+                seq = seqs[i]
+                tp[g, 0, lane] = seq.last_token
+                tp[g, 1, lane] = len(seq) - 1
+                pages[g, lane, : len(seq.block_table)] = seq.block_table
+                temps[g, lane] = seq.temperature
+                lane_of[i] = (g, lane)
         meta = jax.tree.map(jnp.asarray, BurstMeta(tp=tp, pages=pages, temps=temps))
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1
@@ -398,9 +467,11 @@ class ModelRunner:
         tokens_dev, self.kv_pages = self._burst(
             self.params, self.kv_pages, meta, key, w
         )
-        tokens = np.asarray(jax.device_get(tokens_dev))  # [w, s_pad]
+        tokens = np.asarray(jax.device_get(tokens_dev))  # [dp, w, s_pad]
         if self.stats is not None:
             self.stats.add("burst", "prep", t1 - t0)
             self.stats.add("burst", "device", time.perf_counter() - t1, w * len(seqs))
-        n = len(seqs)
-        return [[int(t) for t in row[:n]] for row in tokens]
+        return [
+            [int(tokens[lane_of[i][0], step, lane_of[i][1]]) for i in range(len(seqs))]
+            for step in range(w)
+        ]

@@ -43,6 +43,13 @@ class SchedulerStats:
 
 
 class Scheduler:
+    """One logical scheduler over ``data_parallel_size`` KV partitions.
+
+    Each dp group owns an independent BlockManager (its chips' HBM); a
+    sequence is pinned to the group with the most free blocks at admission
+    and never migrates.  With dp=1 this degenerates to the reference design.
+    """
+
     def __init__(self, config: Config):
         self.chunked_prefill = config.chunked_prefill
         self.max_model_len = config.max_model_len
@@ -50,10 +57,22 @@ class Scheduler:
         self.max_num_batched_tokens = config.max_num_batched_tokens
         self.eos = config.eos
         assert config.num_kvcache_blocks > 0, "num_kvcache_blocks must be set before Scheduler init"
-        self.block_manager = BlockManager(config.num_kvcache_blocks, config.kvcache_block_size)
+        self.dp_size = config.data_parallel_size
+        self.block_managers = [
+            BlockManager(config.num_kvcache_blocks, config.kvcache_block_size)
+            for _ in range(self.dp_size)
+        ]
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
         self.stats = SchedulerStats()
+
+    @property
+    def block_manager(self) -> BlockManager:
+        """The dp group 0 manager (dp=1 compatibility accessor)."""
+        return self.block_managers[0]
+
+    def bm(self, seq: Sequence) -> BlockManager:
+        return self.block_managers[seq.dp_group]
 
     def is_finished(self) -> bool:
         return not self.waiting and not self.running
@@ -66,7 +85,7 @@ class Scheduler:
         """Release the sequence's cache and push it to the *front* of waiting
         (reference scheduler.py:204-220)."""
         seq.status = SequenceStatus.WAITING
-        self.block_manager.deallocate(seq)
+        self.bm(seq).deallocate(seq)
         self.waiting.appendleft(seq)
         self.stats.num_preempted += 1
 
@@ -77,6 +96,17 @@ class Scheduler:
         preempted = False
 
         # ---- phase 1: advance running sequences ----
+        def pop_victim(group: int, min_index: int):
+            """Most recently admitted running seq of ``group`` past
+            ``min_index`` (LIFO within the victim's own KV partition —
+            evicting another group's sequence frees the wrong HBM)."""
+            for j in range(len(self.running) - 1, min_index, -1):
+                if self.running[j].dp_group == group:
+                    victim = self.running[j]
+                    del self.running[j]
+                    return victim
+            return None
+
         i = 0
         while i < len(self.running) and budget > 0:
             seq = self.running[i]
@@ -85,23 +115,23 @@ class Scheduler:
                 num_new = min(num_new, budget)
             num_new = min(num_new, self.max_model_len - 1 - seq.num_cached_tokens)
             assert num_new > 0
-            while not self.block_manager.can_append(seq, num_new):
-                if len(self.running) - 1 == i:
-                    # nothing left behind us to evict: this seq itself yields
+            while not self.bm(seq).can_append(seq, num_new):
+                victim = pop_victim(seq.dp_group, i)
+                if victim is None:
+                    # nothing in this group left behind us: seq itself yields
                     break
-                victim = self.running.pop()  # LIFO: most recently admitted
                 self.preempt(victim)
                 preempted = True
             else:
                 seq.num_new_tokens = num_new
-                self.block_manager.may_append(seq)
+                self.bm(seq).may_append(seq)
                 scheduled_running.append(seq)
                 budget -= num_new
                 i += 1
                 continue
-            # can_append still failing with only [0..i] left: preempt seq itself
-            victim = self.running.pop()
-            self.preempt(victim)
+            # can_append still failing: preempt seq itself
+            del self.running[i]
+            self.preempt(seq)
             preempted = True
             break
 
@@ -110,15 +140,25 @@ class Scheduler:
             while self.waiting and budget > 0 and len(self.running) < self.max_num_seqs:
                 seq = self.waiting[0]
                 assert not seq.block_table
-                hit_used, hit_free, num_new = self.block_manager.get_token_layout(seq)
+                # pin to the dp group whose prefix cache + free list serves
+                # this prompt best: most cached tokens, then most free blocks
+                best, best_key = None, None
+                for g, bm_g in enumerate(self.block_managers):
+                    hu, hf, miss = bm_g.get_token_layout(seq)
+                    key = (hu + hf, bm_g.num_free_blocks)
+                    if best_key is None or key > best_key:
+                        best, best_key = (g, hu, hf, miss), key
+                g, hit_used, hit_free, num_new = best
+                seq.dp_group = g
+                bm = self.block_managers[g]
                 if self.chunked_prefill:
                     num_new = min(num_new, budget)
                 assert num_new > 0
                 # free-list hits still consume free blocks on allocate
-                if num_new > budget or not self.block_manager.can_allocate(hit_free + num_new):
+                if num_new > budget or not bm.can_allocate(hit_free + num_new):
                     break
                 seq.num_new_tokens = num_new
-                self.block_manager.allocate(seq)
+                bm.allocate(seq)
                 assert seq.num_cached_tokens == hit_used + hit_free
                 self.stats.num_prefix_cached_tokens += seq.num_cached_tokens
                 budget -= num_new
@@ -153,11 +193,11 @@ class Scheduler:
         if any(s.num_new_tokens != 1 for s in seqs):
             return 0
         w = w_max
-        bs = self.block_manager.block_size
+        bs = self.block_managers[0].block_size
         for s in seqs:
             capacity = len(s.block_table) * bs
             if capacity - len(s) + 1 < w_max:
-                if self.block_manager.reserve_append_block(s):
+                if self.bm(s).reserve_append_block(s):
                     capacity += bs
             w = min(w, capacity - len(s) + 1)
         return w if w >= 2 else 0
@@ -181,14 +221,14 @@ class Scheduler:
                     # they fill (may_append), so its lazily-freed blocks stay
                     # prefix-hittable after the sequence finishes
                     seq.num_cached_tokens = len(seq) - 1
-                    self.block_manager.commit_full_blocks(seq)
-                    self.block_manager.deallocate(seq)
+                    self.bm(seq).commit_full_blocks(seq)
+                    self.bm(seq).deallocate(seq)
                     self.running.remove(seq)
                     break
             if not seq.is_finished:
                 seq.num_cached_tokens = len(seq) - 1
                 seq.num_new_tokens = 0
-                self.block_manager.commit_full_blocks(seq)
+                self.bm(seq).commit_full_blocks(seq)
 
     def postprocess(
         self,
@@ -209,7 +249,7 @@ class Scheduler:
             hit_eos = not seq.ignore_eos and token_id == self.eos
             if hit_eos or seq.num_completion_tokens == seq.max_tokens or len(seq) >= self.max_model_len:
                 seq.status = SequenceStatus.FINISHED
-                self.block_manager.deallocate(seq)
+                self.bm(seq).deallocate(seq)
                 self.running.remove(seq)
         for seq in seqs:
             if not seq.is_finished:

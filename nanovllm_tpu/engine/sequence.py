@@ -50,6 +50,9 @@ class Sequence:
         self.ignore_eos = sampling_params.ignore_eos
         # online-serving metadata
         self.arrival_time: float | None = None
+        # data-parallel group owning this sequence's KV partition (assigned
+        # at admission by the scheduler; no reference equivalent — TP-only)
+        self.dp_group: int = 0
 
     # -- basic views ---------------------------------------------------------
 

@@ -1,11 +1,15 @@
-"""Device mesh and sharding specs for tensor parallelism.
+"""Device mesh and sharding specs for tensor/data parallelism.
 
 TPU-native replacement for the reference's process-per-GPU NCCL world
 (reference model_runner.py:104-167, linear.py:137-411): a single controller
-drives a ``Mesh(("tp",))`` and all communication is XLA collectives inside
-``shard_map``.  The per-layer comm pattern matches the reference exactly
-(SURVEY.md §2.4): one psum after o_proj, one after down_proj, one for the
-vocab-parallel embedding, and a small all_gather for the sharded sampler.
+drives a ``Mesh(("dp", "tp"))`` and all communication is XLA collectives
+inside ``shard_map``.  The per-layer comm pattern matches the reference
+exactly (SURVEY.md §2.4): one psum after o_proj, one after down_proj, one for
+the vocab-parallel embedding, and a small all_gather for the sharded sampler
+— all on the "tp" axis.  The "dp" axis (multi-host: DCN; the reference is
+single-node-only, SURVEY.md §5.8) carries NO collectives at all: parameters
+are replicated across it, the KV cache and per-step batch are sharded on it,
+and the single logical scheduler assigns each sequence to one dp group.
 """
 
 import jax
@@ -13,14 +17,17 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 TP_AXIS = "tp"
+DP_AXIS = "dp"
 
 
-def make_mesh(tp_size: int, devices=None) -> Mesh:
+def make_mesh(tp_size: int, devices=None, dp_size: int = 1) -> Mesh:
+    """Mesh over dp*tp devices, tp innermost (ICI-contiguous on real slices;
+    dp spans hosts/DCN in a multi-host deployment)."""
     devices = devices if devices is not None else jax.devices()
-    assert len(devices) >= tp_size, (
-        f"need {tp_size} devices, have {len(devices)}"
-    )
-    return Mesh(np.asarray(devices[:tp_size]), (TP_AXIS,))
+    need = tp_size * dp_size
+    assert len(devices) >= need, f"need {need} devices, have {len(devices)}"
+    arr = np.asarray(devices[:need]).reshape(dp_size, tp_size)
+    return Mesh(arr, (DP_AXIS, TP_AXIS))
 
 
 _LAYER_PSPECS = {
@@ -68,8 +75,9 @@ def param_pspecs(layers_tree: dict) -> dict:
 
 
 def kv_pspec() -> P:
-    """KV pages sharded on the kv-head axis: [L*P, page, 2*kvh, hd]."""
-    return P(None, None, TP_AXIS, None)
+    """KV pages: [dp, L*P, page, 2*kvh, hd] — partitioned across dp groups on
+    the leading axis, sharded on the kv-head axis within a group."""
+    return P(DP_AXIS, None, None, TP_AXIS, None)
 
 
 def pack_tp(arrays: list[np.ndarray], tp: int, axis: int) -> np.ndarray:
