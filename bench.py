@@ -76,9 +76,13 @@ def main():
         for _ in range(num_seqs)
     ]
 
-    # warmup: trigger the main shape buckets before timing
+    # warmup: trigger the main shape buckets before timing — including the
+    # full-budget prefill bucket (t_pad 2048), whose first execution carries
+    # ~17s of per-process Mosaic kernel compilation not served by the
+    # persistent jit cache
     llm.generate(
-        [[random.randint(0, 10000) for _ in range(128)] for _ in range(4)],
+        [[random.randint(0, 10000) for _ in range(n)]
+         for n in (1500, 600, 300, 128, 128, 128)],
         SamplingParams(temperature=0.6, ignore_eos=True, max_tokens=8),
         use_tqdm=False,
     )

@@ -62,6 +62,13 @@ class Config:
     # reference's CUDA-Graph decode replay (model_runner.py:640-715) plus the
     # host-overhead amortization a single-controller design needs.
     decode_burst: int = 8
+    # Multi-host: call jax.distributed.initialize() (reads COORDINATOR_ADDRESS
+    # etc. from the environment).  Every host runs the same engine script with
+    # an identical request stream; the pure-Python scheduler is deterministic,
+    # so all hosts schedule identically and dispatch the same jit programs in
+    # lockstep — the TPU-native replacement for the reference's SharedMemory
+    # method broadcast (reference model_runner.py:195-288).
+    distributed: bool = False
 
     def __post_init__(self):
         # Any positive size works for the control plane; the Pallas paged

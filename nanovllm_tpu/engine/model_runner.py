@@ -69,6 +69,8 @@ class BurstMeta(NamedTuple):
 class ModelRunner:
     def __init__(self, config: Config, devices=None):
         self.config = config
+        if config.distributed and jax.process_count() == 1:
+            jax.distributed.initialize()
         self.spec = ModelSpec.from_hf(
             config.hf_config, config.tensor_parallel_size, config.dtype
         )
@@ -302,6 +304,24 @@ class ModelRunner:
             for f in PackedBatch._fields
         ])
 
+    def _put_batch(self, tree, leading_dp: bool = True):
+        """Host numpy pytree -> device arrays.
+
+        Single host: plain transfers (jit reshards per in_specs).  Multi-host
+        (jax.distributed): every host builds the identical global batch, and
+        each places only its addressable shards of the dp-sharded global
+        array.
+        """
+        if jax.process_count() == 1:
+            return jax.tree.map(jnp.asarray, tree)
+
+        def put(a):
+            spec = P(DP_AXIS) if leading_dp else P()
+            sharding = NamedSharding(self.mesh, spec)
+            return jax.make_array_from_callback(a.shape, sharding, lambda idx: a[idx])
+
+        return jax.tree.map(put, tree)
+
     def run_score(self, seqs: list[Sequence], targets_fn=None) -> np.ndarray:
         """One scoring step over the scheduled chunks (dp group 0); returns
         logprobs [T_pad].
@@ -324,7 +344,7 @@ class ModelRunner:
         group_batches = [batch_np] + [
             prepare_step_batch([], bs, layout)[0] for _ in range(self.dp - 1)
         ]
-        packed = jax.tree.map(jnp.asarray, self._stack_packed(group_batches))
+        packed = self._put_batch(self._stack_packed(group_batches))
         targets_dp = np.zeros((self.dp,) + targets.shape, targets.dtype)
         targets_dp[0] = targets
         lps_dev, self.kv_pages = self._score(
@@ -423,7 +443,7 @@ class ModelRunner:
             sampled.extend(grp[j] for j in samp_local)
             for lane, i in enumerate(grp):
                 lane_of[i] = (g, lane)
-        packed = jax.tree.map(jnp.asarray, self._stack_packed(batches))
+        packed = self._put_batch(self._stack_packed(batches))
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1
         t1 = time.perf_counter()
@@ -460,7 +480,7 @@ class ModelRunner:
                 pages[g, lane, : len(seq.block_table)] = seq.block_table
                 temps[g, lane] = seq.temperature
                 lane_of[i] = (g, lane)
-        meta = jax.tree.map(jnp.asarray, BurstMeta(tp=tp, pages=pages, temps=temps))
+        meta = self._put_batch(BurstMeta(tp=tp, pages=pages, temps=temps))
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1
         t1 = time.perf_counter()

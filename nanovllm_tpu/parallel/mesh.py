@@ -105,9 +105,17 @@ def pspecs_for(params) -> dict:
 
 
 def shard_params(params, mesh: Mesh):
-    """device_put a (numpy) param pytree with the TP shardings."""
-    return jax.tree.map(
-        lambda arr, spec: jax.device_put(arr, NamedSharding(mesh, spec)),
-        params,
-        pspecs_for(params),
-    )
+    """Place a (numpy) param pytree onto the mesh, shard by shard.
+
+    ``make_array_from_callback`` materializes + transfers only each device's
+    own slice — no host-side global duplication, and on a multi-host mesh
+    each host touches only its addressable shards (the reference's analogue
+    is per-rank shard slicing inside every weight_loader, linear.py:165-184).
+    """
+    def put(arr, spec):
+        sharding = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+
+    return jax.tree.map(put, params, pspecs_for(params))
