@@ -94,6 +94,13 @@ class ModelRunner:
         assert config.num_kvcache_blocks > 0
         self.kv_pages = self._alloc_kv_pages(config.num_kvcache_blocks)
 
+        # page-table width pinned to its upper bound: the causal-extent fetch
+        # clamp makes padded table entries nearly free, and a varying p_pad
+        # would multiply the jit bucket count (every new width = a recompile
+        # measured at 7-17s mid-trace)
+        bs = config.kvcache_block_size
+        self._p_pad = bucket((config.max_model_len + bs - 1) // bs + 1)
+
         self._step = self._build_step()
         self._burst = self._build_burst()
         self._score = self._build_score()
@@ -121,11 +128,17 @@ class ModelRunner:
         return load_qwen3_params(self.config.model, self.spec)
 
     def _kv_page_shape(self, num_blocks: int):
-        """[dp, L*blocks, page, 2kvh, hd] — blocks are PER dp group."""
+        """[dp * L * blocks, page, 2kvh, hd] — blocks are PER dp group.
+
+        dp is folded into the leading flat page axis (group g owns rows
+        [g*LP, (g+1)*LP)) so each shard_map local is exactly the 4-D cache
+        the kernels expect — a 5-D [dp, LP, ...] layout costs a full-cache
+        HBM copy per step (same measured failure as the [L, P, ...] layout,
+        see ops/kv_cache.py).
+        """
         s = self.spec
         return (
-            self.dp,
-            s.num_layers * num_blocks,
+            self.dp * s.num_layers * num_blocks,
             self.config.kvcache_block_size,
             2 * s.num_kv_heads,
             s.head_dim,
@@ -137,7 +150,7 @@ class ModelRunner:
 
     def _kv_pspec(self):
         if self._kv_int8:
-            return {"data": kv_pspec(), "scale": P(DP_AXIS, None, TP_AXIS, None)}
+            return {"data": kv_pspec(), "scale": P(DP_AXIS, TP_AXIS, None)}
         return kv_pspec()
 
     def _alloc_kv_pages(self, num_blocks: int):
@@ -149,10 +162,10 @@ class ModelRunner:
                     NamedSharding(self.mesh, kv_pspec()),
                 ),
                 "scale": jax.device_put(
-                    # [dp, LP, 2kvh, page]: page on lanes (a [.., page, 2kvh]
+                    # [dp*LP, 2kvh, page]: page on lanes (a [.., page, 2kvh]
                     # layout lane-pads 2kvh up to 128 = 8x HBM blowup)
-                    jnp.zeros((shape[0], shape[1], shape[3], shape[2]), jnp.float32),
-                    NamedSharding(self.mesh, P(DP_AXIS, None, TP_AXIS, None)),
+                    jnp.zeros((shape[0], shape[2], shape[1]), jnp.float32),
+                    NamedSharding(self.mesh, P(DP_AXIS, TP_AXIS, None)),
                 ),
             }
         sharding = NamedSharding(self.mesh, kv_pspec())
@@ -243,12 +256,14 @@ class ModelRunner:
         @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(1,))
         def step(params, kv_pages, packed, key, segments):
             def local(params, kv_pages, packed, key):
+                # kv arrives as the group's own flat 4-D shard; only the
+                # small batch arrays carry an explicit leading dp axis
                 key = jax.random.fold_in(key, lax.axis_index(DP_AXIS))
                 tokens, kv = forward_and_sample(
-                    params, split(kv_pages), split(packed).unpack(), key,
+                    params, kv_pages, split(packed).unpack(), key,
                     spec, TP_AXIS, attn_impl, segments=segments,
                 )
-                return tokens[None], join(kv)
+                return tokens[None], kv
 
             fn = _shard_map(
                 local,
@@ -275,10 +290,10 @@ class ModelRunner:
         def score(params, kv_pages, packed, targets, segments):
             def local(params, kv_pages, packed, targets):
                 lps, kv = forward_and_score(
-                    params, split(kv_pages), split(packed).unpack(),
+                    params, kv_pages, split(packed).unpack(),
                     targets[0], spec, TP_AXIS, attn_impl, segments=segments,
                 )
-                return lps[None], join(kv)
+                return lps[None], kv
 
             fn = _shard_map(
                 local,
@@ -332,7 +347,7 @@ class ModelRunner:
         """
         assert all(s.dp_group == 0 for s in seqs), "scoring runs on dp group 0"
         bs = self.config.kvcache_block_size
-        layout = step_layout(seqs, bs)
+        layout = step_layout(seqs, bs)[:4] + (self._p_pad,)
         batch_np, _, segments = prepare_step_batch(seqs, bs, layout)
         targets = np.zeros_like(batch_np.token_ids)
         for i, seq in enumerate(seqs):
@@ -375,7 +390,6 @@ class ModelRunner:
             def local(params, kv_pages, meta, key):
                 key = jax.random.fold_in(key, lax.axis_index(DP_AXIS))
                 meta = split(meta)
-                kv_pages = split(kv_pages)
                 tokens0 = meta.tp[0]
                 pos0 = meta.tp[1]
                 s = tokens0.shape[0]
@@ -411,7 +425,7 @@ class ModelRunner:
                 (_, kv_pages_out), tokens_ws = lax.scan(
                     body, (tokens0, kv_pages), jnp.arange(w, dtype=jnp.int32)
                 )
-                return tokens_ws[None], join(kv_pages_out)
+                return tokens_ws[None], kv_pages_out
 
             fn = _shard_map(
                 local,
@@ -434,6 +448,7 @@ class ModelRunner:
         layout = merge_layouts(
             [step_layout([seqs[i] for i in grp], bs) for grp in groups]
         )
+        layout = layout[:4] + (self._p_pad,)
         batches, sampled, lane_of = [], [], {}
         for g, grp in enumerate(groups):
             b, samp_local, segments = prepare_step_batch(
@@ -466,7 +481,7 @@ class ModelRunner:
         t0 = time.perf_counter()
         groups = self._group_indices(seqs)
         s_pad = bucket(max(len(grp) for grp in groups))
-        p_pad = bucket(max(len(s.block_table) for s in seqs))
+        p_pad = self._p_pad
         tp = np.zeros((self.dp, 2, s_pad), np.int32)
         tp[:, 1] = -1  # pad lanes: no KV write
         pages = np.zeros((self.dp, s_pad, p_pad), np.int32)

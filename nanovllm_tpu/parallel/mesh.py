@@ -75,9 +75,9 @@ def param_pspecs(layers_tree: dict) -> dict:
 
 
 def kv_pspec() -> P:
-    """KV pages: [dp, L*P, page, 2*kvh, hd] — partitioned across dp groups on
-    the leading axis, sharded on the kv-head axis within a group."""
-    return P(DP_AXIS, None, None, TP_AXIS, None)
+    """KV pages: [dp * L * P, page, 2*kvh, hd] — dp groups partition the flat
+    leading page axis; kv heads shard on "tp" within a group."""
+    return P(DP_AXIS, None, TP_AXIS, None)
 
 
 def pack_tp(arrays: list[np.ndarray], tp: int, axis: int) -> np.ndarray:
