@@ -63,6 +63,15 @@ class LLMEngine:
         self.scheduler.add(seq)
         return seq.seq_id
 
+    def abort_request(self, seq_id: int) -> bool:
+        """Cancel a queued or running request (frees its KV blocks).
+
+        No reference equivalent; online serving needs it for client
+        disconnects and deadline enforcement (SURVEY.md §5.3 notes the
+        reference has no request timeouts at all).
+        """
+        return self.scheduler.abort(seq_id)
+
     def step(self):
         """One schedule -> run -> postprocess round.
 

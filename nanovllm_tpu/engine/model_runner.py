@@ -240,10 +240,6 @@ class ModelRunner:
         """Strip the local leading dp axis (size 1 inside shard_map)."""
         return jax.tree.map(lambda a: a[0], tree)
 
-    @staticmethod
-    def _dp_join(tree):
-        return jax.tree.map(lambda a: a[None], tree)
-
     def _build_step(self):
         spec = self.spec
         attn_impl = self.attn_impl
@@ -251,7 +247,7 @@ class ModelRunner:
         kvspec = self._kv_pspec()
         packed_specs = PackedBatch(*([P(DP_AXIS)] * len(PackedBatch._fields)))
         mesh = self.mesh
-        split, join = self._dp_split, self._dp_join
+        split = self._dp_split
 
         @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(1,))
         def step(params, kv_pages, packed, key, segments):
@@ -284,7 +280,7 @@ class ModelRunner:
         kvspec = self._kv_pspec()
         packed_specs = PackedBatch(*([P(DP_AXIS)] * len(PackedBatch._fields)))
         mesh = self.mesh
-        split, join = self._dp_split, self._dp_join
+        split = self._dp_split
 
         @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(1,))
         def score(params, kv_pages, packed, targets, segments):
@@ -383,7 +379,7 @@ class ModelRunner:
         kvspec = self._kv_pspec()
         meta_specs = BurstMeta(*([P(DP_AXIS)] * len(BurstMeta._fields)))
         mesh = self.mesh
-        split, join = self._dp_split, self._dp_join
+        split = self._dp_split
 
         @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(1,))
         def burst(params, kv_pages, meta, key, w):

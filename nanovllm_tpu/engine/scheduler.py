@@ -77,6 +77,22 @@ class Scheduler:
     def is_finished(self) -> bool:
         return not self.waiting and not self.running
 
+    def abort(self, seq_id: int) -> bool:
+        """Cancel a request by id (no reference equivalent — its engine can
+        only drain).  Frees the sequence's blocks if it was running.
+
+        Must be called between engine steps (the engine is single-threaded,
+        so this holds by construction for any caller of LLMEngine.step)."""
+        for q in (self.waiting, self.running):
+            for seq in q:
+                if seq.seq_id == seq_id:
+                    if seq.block_table:
+                        self.bm(seq).deallocate(seq)
+                    seq.status = SequenceStatus.FINISHED
+                    q.remove(seq)
+                    return True
+        return False
+
     def add(self, seq: Sequence) -> None:
         assert len(seq) <= self.max_model_len - 1, "sequence length exceeds max_model_len"
         self.waiting.append(seq)

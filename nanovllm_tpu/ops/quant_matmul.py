@@ -28,8 +28,11 @@ GROUP = 128
 
 
 def _qmm_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, n_k, int4: bool):
-    # s_ref block covers ALL K-groups ([K//GROUP, BN]): a (1, BN) block would
-    # violate the TPU (8, 128) block-tiling rule; row k is indexed in-kernel.
+    # One grid step covers BK = groups_per_tile * GROUP contraction rows.
+    # The weight tile is dequantized on the VPU (int8 -> f32 * scale -> bf16,
+    # a fraction of the tile's MXU time) and fed to ONE wide dot — a
+    # scale-after-dot design pins BK to GROUP (128) and pays 4-8x the grid
+    # steps, which dominated prefill.
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -47,15 +50,18 @@ def _qmm_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, n_k, int4: bool):
         w = jnp.stack([low, high], axis=1).reshape(2 * bk2, bn)
     else:
         w = w_ref[...]                            # [BK, BN] int8
-    # MXU inputs stay in the activation dtype: int8 magnitudes (<= 127) are
-    # exactly representable in bf16, and a bf16 x bf16 -> f32 dot runs the
-    # v5e MXU at full rate where f32 x f32 is emulated in multiple passes.
-    prod = lax.dot_general(
-        x, w.astype(x.dtype),
+    bk, bn = w.shape
+    s = s_ref[0]                                  # [gpt, BN]
+    g = bk // s.shape[0]
+    # dequant in f32 (exact), then to the activation dtype: int8 x scale in
+    # bf16 directly would round the scale product twice
+    wf = w.astype(jnp.float32).reshape(s.shape[0], g, bn)
+    wf = wf * s[:, None, :]
+    acc_ref[...] += lax.dot_general(
+        x, wf.reshape(bk, bn).astype(x.dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    acc_ref[...] += prod * s_ref[k][None, :]
 
     @pl.when(k == n_k - 1)
     def _():
@@ -70,6 +76,7 @@ def quant_matmul_pallas(
     int4: bool = False,
     block_t: int = 256,
     block_n: int = 512,
+    block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     t, k = x.shape
@@ -81,8 +88,11 @@ def quant_matmul_pallas(
     bn = block_n
     while n % bn:
         bn //= 2
-    bk = GROUP
+    bk = min(block_k, k)
+    while k % bk or bk % GROUP:
+        bk //= 2
     n_k = k // bk
+    gpt = bk // GROUP  # quant groups per K tile
 
     grid = (t // bt, n // bn, n_k)
     wk_rows = bk // 2 if int4 else bk
@@ -93,7 +103,9 @@ def quant_matmul_pallas(
         in_specs=[
             pl.BlockSpec((bt, bk), lambda i, j, kk: (i, kk)),
             pl.BlockSpec((wk_rows, bn), lambda i, j, kk: (kk, j)),
-            pl.BlockSpec((n_k, bn), lambda i, j, kk: (0, j)),
+            # scales as [n_k, gpt, N]: a 2-D (gpt, bn) block would slice the
+            # f32 sublane dim below its (8, 128) tile
+            pl.BlockSpec((1, gpt, bn), lambda i, j, kk: (kk, 0, j)),
         ],
         out_specs=pl.BlockSpec((bt, bn), lambda i, j, kk: (i, j)),
         out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
@@ -102,7 +114,7 @@ def quant_matmul_pallas(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(x, w_q, scales)
+    )(x, w_q, scales.reshape(n_k, gpt, n))
     return out
 
 

@@ -209,3 +209,32 @@ class TestPostprocess:
         sched.add(b)
         run_step(sched)
         assert sched.stats.num_prefix_cached_tokens == BS  # first full block
+
+
+def test_abort_frees_blocks_and_removes():
+    """abort() cancels waiting or running requests and releases their KV."""
+    from nanovllm_tpu.config import Config
+    from nanovllm_tpu.engine.scheduler import Scheduler
+    from nanovllm_tpu.engine.sequence import Sequence
+    from nanovllm_tpu.sampling_params import SamplingParams
+
+    class HF:
+        max_position_embeddings = 1024
+
+    cfg = Config(model="", hf_config=HF(), max_model_len=256, max_num_seqs=8,
+                 kvcache_block_size=16, num_kvcache_blocks=16,
+                 max_num_batched_tokens=64)
+    sched = Scheduler(cfg)
+    a = Sequence(list(range(20)), SamplingParams(max_tokens=4), block_size=16)
+    b = Sequence(list(range(30)), SamplingParams(max_tokens=4), block_size=16)
+    sched.add(a)
+    sched.add(b)
+    sched.schedule()  # both admitted
+    free_before = sched.block_manager.num_free_blocks
+    assert sched.abort(a.seq_id)
+    assert a.is_finished and a not in sched.running
+    assert sched.block_manager.num_free_blocks > free_before
+    assert sched.abort(b.seq_id)
+    assert sched.is_finished()
+    assert sched.block_manager.num_free_blocks == 16
+    assert not sched.abort(12345)  # unknown id
