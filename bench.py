@@ -31,6 +31,14 @@ def main():
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if os.environ.get("NVT_LOG_COMPILES"):
+        jax.config.update("jax_log_compiles", True)
+        import logging
+
+        logging.basicConfig(
+            level=logging.WARNING, stream=sys.stderr,
+            format="%(asctime)s %(message)s",
+        )
 
     from __graft_entry__ import QWEN3_0_6B, _hf_cfg
     from nanovllm_tpu import LLM, SamplingParams

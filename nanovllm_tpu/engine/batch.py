@@ -43,6 +43,11 @@ class StepBatch(NamedTuple):
     page_indices: np.ndarray   # [S, PAGES] int32
     logits_indices: np.ndarray  # [S] int32 (row of each lane's last token)
     temperatures: np.ndarray   # [S] float32
+    # pages written by the prefill segment, for the page-plane KV write path
+    # (ops/kv_cache.py): (layer-relative page id, token-row offset of the
+    # page's first written slot within the prefill segment).  PAGE_SENTINEL
+    # pads unused entries.  None on paths with no prefill rows (decode bursts).
+    prefill_pages: np.ndarray | None = None  # [PP, 2] int32
 
 
 class PackedBatch(NamedTuple):
@@ -58,6 +63,7 @@ class PackedBatch(NamedTuple):
     seq: np.ndarray    # [2, S] int32: kv_lens, logits_indices
     temps: np.ndarray  # [S] float32
     pages: np.ndarray  # [S, PAGES] int32
+    ppages: np.ndarray  # [PP, 2] int32: prefill-written (page id, token start)
 
     @classmethod
     def pack(cls, b: StepBatch) -> "PackedBatch":
@@ -66,6 +72,7 @@ class PackedBatch(NamedTuple):
             seq=np.stack([b.kv_lens, b.logits_indices]),
             temps=b.temperatures,
             pages=b.page_indices,
+            ppages=b.prefill_pages,
         )
 
     def unpack(self) -> StepBatch:
@@ -78,6 +85,7 @@ class PackedBatch(NamedTuple):
             page_indices=self.pages,
             logits_indices=self.seq[1],
             temperatures=self.temps,
+            prefill_pages=self.ppages,
         )
 
 
@@ -93,7 +101,22 @@ def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
-def step_layout(seqs: list[Sequence], block_size: int) -> tuple[int, int, int, int, int]:
+def _written_pages(seq: Sequence, block_size: int) -> list[tuple[int, int]]:
+    """(page id, token offset within the chunk) pairs covered by this step's
+    written slots of a prefill chunk.  Offset = where the page's first written
+    slot falls among the chunk's tokens (0 for the first, partially resumed
+    page)."""
+    start, end = seq.num_cached_tokens, seq.num_context_tokens
+    first = start // block_size
+    return [
+        (page, max(0, (first + k) * block_size - start))
+        for k, page in enumerate(
+            seq.block_table[first: (end - 1) // block_size + 1]
+        )
+    ]
+
+
+def step_layout(seqs: list[Sequence], block_size: int) -> tuple[int, ...]:
     """Bucketed layout tuple (dec_end, p_start, p_end, s_pad, p_pad) for the
     scheduled sequences.  Segment boundaries are part of the jit cache key,
     so every count is bucketed (pow2) — otherwise each distinct
@@ -113,15 +136,31 @@ def step_layout(seqs: list[Sequence], block_size: int) -> tuple[int, int, int, i
     return dec_end, p_start, p_end, s_pad, p_pad
 
 
+def prefill_pages_pad(p_start: int, p_end: int, block_size: int) -> int:
+    """Width of the prefill-written pages array, a pure function of the
+    prefill segment so it adds NO jit-bucket dimension.  Bound: each chunk of
+    c tokens spans <= ceil(c/block)+1 pages and occupies ceil(c/TILE) tiles,
+    and (ceil(c/block)+1) <= 2*ceil(c/TILE) for every c >= 2 when
+    block >= 2*TILE; summed over chunks that is 2*(p_end-p_start)/TILE.
+    For small blocks the per-chunk page span dominates instead."""
+    rows = p_end - p_start
+    if rows <= 0:
+        return 1
+    per_tile = max(2 * PREFILL_TILE // block_size + 1, 2)
+    return per_tile * rows // PREFILL_TILE
+
+
 def merge_layouts(layouts) -> tuple[int, int, int, int, int]:
-    """Elementwise max — the common (forced) layout for dp-stacked groups."""
+    """Elementwise max — the common (forced) layout for dp-stacked groups.
+    Derived widths (t_pad, pp_pad) are pure functions of these dims, so the
+    merged layout stays a valid upper bound for every group."""
     return tuple(max(vals) for vals in zip(*layouts))
 
 
 def prepare_step_batch(
     seqs: list[Sequence],
     block_size: int,
-    layout: tuple[int, int, int, int, int] | None = None,
+    layout: tuple[int, ...] | None = None,
 ) -> tuple[StepBatch, list[int], tuple[int, int, int]]:
     """Build the padded StepBatch for the scheduled sequences.
 
@@ -141,6 +180,7 @@ def prepare_step_batch(
         layout = step_layout(seqs, block_size)
     dec_end, p_start, p_end, s_pad, p_pad = layout
     t_pad = bucket(max(p_end, 1))
+    pp_pad = prefill_pages_pad(p_start, p_end, block_size)
 
     token_ids = np.zeros(t_pad, dtype=np.int32)
     positions = np.zeros(t_pad, dtype=np.int32)
@@ -175,12 +215,24 @@ def prepare_step_batch(
         token_seq[row] = i
 
     row = p_start
+    written_pages: list[tuple[int, int]] = []
     for i in prefill_idx:
         n_new = seqs[i].num_new_tokens
         fill(i, row)
+        written_pages.extend(
+            (page, row - p_start + off)
+            for page, off in _written_pages(seqs[i], block_size)
+        )
         rows_padded = _round_up(n_new, PREFILL_TILE)
         token_seq[row: row + rows_padded] = i  # pad rows inherit the lane
         row += rows_padded
+
+    from nanovllm_tpu.ops.kv_cache import PAGE_SENTINEL
+
+    prefill_pages = np.full((pp_pad, 2), PAGE_SENTINEL, dtype=np.int32)
+    prefill_pages[:, 1] = 0
+    if written_pages:
+        prefill_pages[: len(written_pages)] = written_pages
 
     batch = StepBatch(
         token_ids=token_ids,
@@ -191,5 +243,6 @@ def prepare_step_batch(
         page_indices=page_indices,
         logits_indices=logits_indices,
         temperatures=temperatures,
+        prefill_pages=prefill_pages,
     )
     return batch, sampled, (dec_end, p_start, p_end)

@@ -16,6 +16,7 @@ at program entry.  One page DMA still fetches both K and V.
 """
 
 import jax.numpy as jnp
+from jax import lax
 
 
 def is_quantized_cache(kv_pages) -> bool:
@@ -23,15 +24,126 @@ def is_quantized_cache(kv_pages) -> bool:
     return isinstance(kv_pages, dict)
 
 
+PAGE_SENTINEL = 1 << 30  # padded prefill_pages entry: clamps to a real plane, matches no slot -> no-op rewrite
+
+
+def _quantize_rows(kv: jnp.ndarray):
+    """Dynamic per-(token, head) symmetric int8: (q [T,2kvh,hd], scale [T,2kvh])."""
+    kvf = kv.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(kvf), axis=-1) / 127.0
+    safe = jnp.maximum(scale, 1e-10)
+    q = jnp.clip(jnp.round(kvf / safe[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _write_rows_scatter(kv_pages, layer, pages_per_layer, kv, slot):
+    """Row-scatter write (decode-scale batches: XLA scatter serializes at
+    ~13us per update row, so this path is reserved for small T)."""
+    data = kv_pages["data"] if is_quantized_cache(kv_pages) else kv_pages
+    total_pages = data.shape[0]
+    page_size = data.shape[1]
+    page_idx = jnp.where(
+        slot >= 0, layer * pages_per_layer + slot // page_size, total_pages
+    ).astype(jnp.int32)
+    offset = jnp.where(slot >= 0, slot % page_size, 0).astype(jnp.int32)
+
+    if not is_quantized_cache(kv_pages):
+        return data.at[page_idx, offset].set(kv.astype(data.dtype), mode="drop")
+
+    q, scale = _quantize_rows(kv)
+    # scale layout [LP, 2kvh, page]: page on the lane axis — a [.., page, 2kvh]
+    # layout lane-pads 2kvh (16) up to 128, an 8x HBM blowup
+    return {
+        "data": data.at[page_idx, offset].set(q, mode="drop"),
+        "scale": kv_pages["scale"].at[page_idx, :, offset].set(
+            scale, mode="drop"
+        ),
+    }
+
+
+def _write_rows_planes(kv_pages, layer, pages_per_layer, kv, slot, pages):
+    """Page-plane write for prefill chunks.
+
+    ``pages`` is [PP, 2] int32: (layer-relative page id, token-row offset of
+    that page's first written slot within this segment), host-enumerated.
+    For each written page: slice the <= page_size candidate token rows
+    (prefill slots are contiguous per chunk, so one page's writers form one
+    run), build the page's new contents with a one-hot matmul (each written
+    slot is hit by exactly one token, so the bf16 matmul is exact), merge
+    with the old plane, and dynamic-update-slice it back in place.
+
+    Why this shape: XLA's row scatter serializes per update row (~13us/row =
+    ~27ms for a 2048-token chunk, per array, per layer), and a whole-cache
+    gather formulation (`data[gpp]`) made XLA materialize a half-cache
+    (5.9 GB) temp.  Per-page dynamic slices keep temps at one page and the
+    work pure MXU/vector.  Sentinel pages clamp to a real plane but match no
+    slots, so they rewrite the old contents verbatim (a no-op).
+    """
+    quant = is_quantized_cache(kv_pages)
+    data = kv_pages["data"] if quant else kv_pages
+    total = data.shape[0]
+    page_size = data.shape[1]
+    t = kv.shape[0]
+    pp = pages.shape[0]
+    d = kv.shape[1] * kv.shape[2]
+
+    if quant:
+        rows, scale_rows = _quantize_rows(kv)              # int8, [T, 2kvh]
+        scale = kv_pages["scale"]
+    else:
+        rows, scale_rows, scale = kv, None, None
+    rows = rows.reshape(t, d)
+
+    sl = min(page_size, t)
+    offs = jnp.arange(page_size, dtype=jnp.int32)
+    for i in range(pp):                                    # static unroll
+        page_i = pages[i, 0]
+        tok0 = jnp.clip(pages[i, 1], 0, t - sl)
+        gp = jnp.clip(layer * pages_per_layer + page_i, 0, total - 1)
+        rslot = lax.dynamic_slice_in_dim(slot, tok0, sl)
+        hit = (
+            (rslot[:, None] >= 0)
+            & ((rslot[:, None] // page_size) == page_i)
+            & ((rslot[:, None] % page_size) == offs[None, :])
+        )                                                  # [sl, page] bool
+        oh = hit.astype(jnp.bfloat16 if quant else data.dtype)
+        new = lax.dot_general(
+            oh, lax.dynamic_slice_in_dim(rows, tok0, sl).astype(oh.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),    # [page, D]
+            preferred_element_type=jnp.float32,
+        )
+        written = jnp.any(hit, axis=0)                     # [page]
+        old = lax.dynamic_slice_in_dim(data, gp, 1)        # [1, page, 2kvh, hd]
+        merged = jnp.where(
+            written[:, None], new.astype(data.dtype), old.reshape(page_size, d)
+        )
+        data = lax.dynamic_update_slice_in_dim(
+            data, merged.reshape(old.shape), gp, 0
+        )
+        if quant:
+            snew = lax.dot_general(
+                hit.astype(jnp.float32),
+                lax.dynamic_slice_in_dim(scale_rows, tok0, sl),
+                dimension_numbers=(((0,), (0,)), ((), ())),  # [page, 2kvh]
+            )
+            sold = lax.dynamic_slice_in_dim(scale, gp, 1)    # [1, 2kvh, page]
+            smerged = jnp.where(written[None, :], snew.T, sold[0])
+            scale = lax.dynamic_update_slice_in_dim(scale, smerged[None], gp, 0)
+
+    return {"data": data, "scale": scale} if quant else data
+
+
 def write_kv_pages(
     kv_pages,                   # [LP, page, 2*kvh, hd] array, or
                                 # {"data": int8 [LP, page, 2kvh, hd],
-                                #  "scale": f32 [LP, page, 2kvh]} for KV8
+                                #  "scale": f32 [LP, 2kvh, page]} for KV8
     layer,                      # scalar int32 layer index
     pages_per_layer: int,
     k: jnp.ndarray,             # [T, kvh, hd]
     v: jnp.ndarray,             # [T, kvh, hd]
     slot_mapping: jnp.ndarray,  # [T] int32 global slots; -1 = skip (padding)
+    segments: tuple[int, int, int] | None = None,
+    prefill_pages: jnp.ndarray | None = None,  # [PP, 2] (page id, token-row start)
 ):
     """Scatter directly into the full multi-layer cache.
 
@@ -46,33 +158,24 @@ def write_kv_pages(
     scale stored alongside (attention dequantizes in-kernel; ~2x KV capacity
     and read bandwidth, BASELINE "KV8").
     """
-    data = kv_pages["data"] if is_quantized_cache(kv_pages) else kv_pages
-    total_pages = data.shape[0]
-    page_size = data.shape[1]
     t, kvh, hd = k.shape
-    slot = slot_mapping
-    # -1 slots -> out-of-bounds page -> dropped by the scatter
-    page_idx = jnp.where(
-        slot >= 0, layer * pages_per_layer + slot // page_size, total_pages
-    ).astype(jnp.int32)
-    offset = jnp.where(slot >= 0, slot % page_size, 0).astype(jnp.int32)
     kv = jnp.stack([k, v], axis=2).reshape(t, 2 * kvh, hd)
 
-    if not is_quantized_cache(kv_pages):
-        return data.at[page_idx, offset].set(kv.astype(data.dtype), mode="drop")
+    if segments is None or prefill_pages is None or segments[2] <= segments[1]:
+        return _write_rows_scatter(kv_pages, layer, pages_per_layer, kv,
+                                   slot_mapping)
 
-    kvf = kv.astype(jnp.float32)
-    scale = jnp.max(jnp.abs(kvf), axis=-1) / 127.0          # [T, 2kvh]
-    safe = jnp.maximum(scale, 1e-10)
-    q = jnp.clip(jnp.round(kvf / safe[..., None]), -127, 127).astype(jnp.int8)
-    # scale layout [LP, 2kvh, page]: page on the lane axis — a [.., page, 2kvh]
-    # layout lane-pads 2kvh (16) up to 128, an 8x HBM blowup
-    return {
-        "data": data.at[page_idx, offset].set(q, mode="drop"),
-        "scale": kv_pages["scale"].at[page_idx, :, offset].set(
-            scale, mode="drop"
-        ),
-    }
+    dec_end, p_start, p_end = segments
+    out = kv_pages
+    if dec_end > 0:
+        out = _write_rows_scatter(
+            out, layer, pages_per_layer, kv[:dec_end], slot_mapping[:dec_end]
+        )
+    # gap/tail padding rows carry slot -1 and are outside both slices
+    return _write_rows_planes(
+        out, layer, pages_per_layer, kv[p_start:p_end],
+        slot_mapping[p_start:p_end], prefill_pages,
+    )
 
 
 def split_kv_pages(kv_pages: jnp.ndarray):

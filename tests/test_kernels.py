@@ -196,3 +196,56 @@ class TestKVWrite:
         total = float(jnp.sum(jnp.abs(out)))
         expected = float(jnp.sum(jnp.abs(k[:2]))) + float(jnp.sum(jnp.abs(v[:2])))
         assert abs(total - expected) < 1e-6
+
+
+class TestPlaneKVWrite:
+    """The page-plane prefill write path must equal the row-scatter path."""
+
+    @pytest.mark.parametrize("quant", [False, True])
+    def test_plane_write_matches_scatter(self, quant):
+        rng = np.random.default_rng(11)
+        layers, ppl, kvh, hd = 2, 8, 2, 32
+        if quant:
+            def mk():
+                return {
+                    "data": jnp.zeros((layers * ppl, PAGE, 2 * kvh, hd), jnp.int8),
+                    "scale": jnp.zeros((layers * ppl, 2 * kvh, PAGE), jnp.float32),
+                }
+        else:
+            def mk():
+                return jnp.zeros((layers * ppl, PAGE, 2 * kvh, hd), jnp.float32)
+
+        # mixed step: 2 decode rows + a prefill chunk of 37 tokens over
+        # pages [3, 4, 5] (partial first and last page)
+        dec_end, p_start, p_end = 2, 128, 256
+        t_pad = 256
+        k = jnp.asarray(rng.standard_normal((t_pad, kvh, hd)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((t_pad, kvh, hd)).astype(np.float32))
+        slots = np.full(t_pad, -1, np.int32)
+        slots[0] = 7 * PAGE + 3          # decode row, page 7
+        slots[1] = 6 * PAGE + 9          # decode row, page 6
+        chunk_slots = np.arange(3 * PAGE + 5, 3 * PAGE + 5 + 37)
+        slots[p_start: p_start + 37] = chunk_slots
+        slots = jnp.asarray(slots)
+        # (page, token offset within the prefill segment) + sentinel pad
+        pages = jnp.asarray(
+            [[3, 0], [4, 16 - 5], [5, 2 * 16 - 5], [1 << 30, 0]], jnp.int32
+        )
+
+        via_scatter = write_kv_pages(mk(), 1, ppl, k, v, slots)
+        via_planes = write_kv_pages(
+            mk(), 1, ppl, k, v, slots,
+            segments=(dec_end, p_start, p_end), prefill_pages=pages,
+        )
+        if quant:
+            np.testing.assert_array_equal(
+                np.asarray(via_scatter["data"]), np.asarray(via_planes["data"])
+            )
+            np.testing.assert_allclose(
+                np.asarray(via_scatter["scale"]), np.asarray(via_planes["scale"]),
+                rtol=1e-6, atol=1e-7,
+            )
+        else:
+            np.testing.assert_allclose(
+                np.asarray(via_scatter), np.asarray(via_planes), rtol=1e-6, atol=1e-6
+            )
