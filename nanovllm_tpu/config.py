@@ -62,6 +62,12 @@ class Config:
     # reference's CUDA-Graph decode replay (model_runner.py:640-715) plus the
     # host-overhead amortization a single-controller design needs.
     decode_burst: int = 8
+    # Pre-compile + first-execute the step/burst program ladder at engine
+    # init, so no program pays its multi-second compile + device-load cost
+    # mid-serving — the analogue of the reference capturing every CUDA decode
+    # graph up front (model_runner.py:686-691).  None = auto (on for TPU
+    # unless enforce_eager).
+    warmup_buckets: bool | None = None
     # Multi-host: call jax.distributed.initialize() (reads COORDINATOR_ADDRESS
     # etc. from the environment).  Every host runs the same engine script with
     # an identical request stream; the pure-Python scheduler is deterministic,

@@ -24,8 +24,12 @@ from typing import NamedTuple
 
 import numpy as np
 
+from nanovllm_tpu.constants import PREFILL_TILE, bucket, round_up as _round_up
 from nanovllm_tpu.engine.sequence import Sequence
-from nanovllm_tpu.ops.attention import PREFILL_TILE
+
+# positions value of inert rows: causal limits become <= 0, so the decode
+# kernel skips the row entirely and a prefill pad tile is fully masked
+INERT_POS = -PREFILL_TILE
 
 
 class StepBatch(NamedTuple):
@@ -89,18 +93,6 @@ class PackedBatch(NamedTuple):
         )
 
 
-def bucket(n: int, minimum: int = 8) -> int:
-    """Next power-of-two bucket >= n (bounded below for tiling sanity)."""
-    b = minimum
-    while b < n:
-        b *= 2
-    return b
-
-
-def _round_up(n: int, m: int) -> int:
-    return (n + m - 1) // m * m
-
-
 def _written_pages(seq: Sequence, block_size: int) -> list[tuple[int, int]]:
     """(page id, token offset within the chunk) pairs covered by this step's
     written slots of a prefill chunk.  Offset = where the page's first written
@@ -116,22 +108,45 @@ def _written_pages(seq: Sequence, block_size: int) -> list[tuple[int, int]]:
     ]
 
 
-def step_layout(seqs: list[Sequence], block_size: int) -> tuple[int, ...]:
+def seq_pad(n: int, s_cap: int | None) -> int:
+    """Two-value sequence-lane ladder: 8, else the engine's max.  Every
+    distinct lane count is a separate compiled program, and padded lanes are
+    nearly free (inert attention rows skip, linears are weight-bound), so a
+    coarse ladder wins."""
+    if s_cap is None:
+        return bucket(n)
+    return 8 if n <= 8 else bucket(max(s_cap, n))
+
+
+def step_layout(
+    seqs: list[Sequence], block_size: int, s_cap: int | None = None
+) -> tuple[int, ...]:
     """Bucketed layout tuple (dec_end, p_start, p_end, s_pad, p_pad) for the
     scheduled sequences.  Segment boundaries are part of the jit cache key,
-    so every count is bucketed (pow2) — otherwise each distinct
-    decode/prefill mix would compile a new program."""
-    decode_idx = [i for i, s in enumerate(seqs) if s.num_new_tokens == 1]
+    so the layout is designed to collapse onto a tiny program ladder:
+
+      * the decode segment ALWAYS spans all s_pad lanes (row = lane; lanes
+        not decoding this step carry inert rows the kernel skips), removing
+        the decode count from the cache key,
+      * the prefill segment always extends to the padded buffer end
+        (p_end = t_pad; tail tiles are inert), removing the tile count from
+        the cache key,
+      * s_pad uses the two-value ladder of ``seq_pad``.
+
+    Net cache key: (s_pad, t_pad) — a handful of programs per engine config
+    (each first execution costs seconds of compile + device load)."""
     prefill_idx = [i for i, s in enumerate(seqs) if s.num_new_tokens != 1]
-    dec_end = bucket(len(decode_idx)) if decode_idx else 0
-    p_start = _round_up(dec_end, PREFILL_TILE) if prefill_idx else dec_end
+    s_pad = seq_pad(len(seqs), s_cap)
+    dec_end = s_pad
     n_tiles = sum(
         _round_up(seqs[i].num_new_tokens, PREFILL_TILE) // PREFILL_TILE
         for i in prefill_idx
     )
-    n_tiles = bucket(n_tiles, minimum=1) if prefill_idx else 0
-    p_end = p_start + n_tiles * PREFILL_TILE
-    s_pad = bucket(len(seqs))
+    if n_tiles:
+        p_start = _round_up(dec_end, PREFILL_TILE)
+        p_end = bucket(p_start + n_tiles * PREFILL_TILE)
+    else:
+        p_start = p_end = dec_end
     p_pad = bucket(max((len(s.block_table) for s in seqs), default=1))
     return dec_end, p_start, p_end, s_pad, p_pad
 
@@ -167,6 +182,12 @@ def prepare_step_batch(
     ``layout`` forces the bucketed dims (dp-stacked groups must agree on
     shapes); None computes this group's natural layout.
 
+    Row assignment: lane i's decode row IS row i (the decode segment spans
+    all lanes); prefill chunks start at p_start, each padded to a
+    PREFILL_TILE boundary.  Inert rows (non-decoding lanes, alignment gap,
+    tail tiles) carry position INERT_POS so their causal limit is <= 0 —
+    the decode kernel skips them, prefill pad tiles are fully masked.
+
     Returns (batch, sampled_seq_indices, segments):
       * sampled_seq_indices — positions in ``seqs`` whose scheduled chunk
         reaches the end of their tokens; only those produce a sampled token
@@ -183,9 +204,11 @@ def prepare_step_batch(
     pp_pad = prefill_pages_pad(p_start, p_end, block_size)
 
     token_ids = np.zeros(t_pad, dtype=np.int32)
-    positions = np.zeros(t_pad, dtype=np.int32)
+    positions = np.full(t_pad, INERT_POS, dtype=np.int32)
     slot_mapping = np.full(t_pad, -1, dtype=np.int32)
     token_seq = np.zeros(t_pad, dtype=np.int32)
+    # every lane owns its decode row, even when not decoding this step
+    token_seq[:dec_end] = np.arange(dec_end, dtype=np.int32)
     kv_lens = np.zeros(s_pad, dtype=np.int32)
     page_indices = np.zeros((s_pad, p_pad), dtype=np.int32)
     logits_indices = np.zeros(s_pad, dtype=np.int32)
@@ -210,9 +233,8 @@ def prepare_step_batch(
         if end == len(seq):
             sampled.append(i)
 
-    for row, i in enumerate(decode_idx):
-        fill(i, row)
-        token_seq[row] = i
+    for i in decode_idx:
+        fill(i, i)  # decode row = lane index
 
     row = p_start
     written_pages: list[tuple[int, int]] = []

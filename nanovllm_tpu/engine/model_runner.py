@@ -24,12 +24,13 @@ from jax import lax
 from nanovllm_tpu.config import Config
 from typing import NamedTuple
 
+from nanovllm_tpu.constants import PREFILL_TILE, bucket, round_up
 from nanovllm_tpu.engine.batch import (
     PackedBatch,
     StepBatch,
-    bucket,
     merge_layouts,
     prepare_step_batch,
+    seq_pad,
     step_layout,
 )
 from nanovllm_tpu.engine.sequence import Sequence
@@ -107,6 +108,12 @@ class ModelRunner:
         self._step_counter = 0
         self._base_key = jax.random.key(0)
         self.stats = None  # EngineStats, attached by LLMEngine
+
+        warm = config.warmup_buckets
+        if warm is None:
+            warm = jax.default_backend() == "tpu" and not config.enforce_eager
+        if warm:
+            self.warmup_buckets()
 
     # -- setup ---------------------------------------------------------------
 
@@ -407,7 +414,9 @@ class ModelRunner:
                         positions=pos,
                         slot_mapping=slot,
                         token_seq=lane,
-                        kv_lens=pos + 1,
+                        # pad lanes get kv_len 0: the decode kernel's causal
+                        # limit hits 0 and skips them (no fetch, no compute)
+                        kv_lens=jnp.where(valid, pos + 1, 0),
                         page_indices=meta.pages,
                         logits_indices=lane,
                         temperatures=meta.temps,
@@ -434,6 +443,64 @@ class ModelRunner:
 
         return burst
 
+    def warmup_buckets(self) -> None:
+        """First-execute the whole step/burst program ladder.
+
+        Every distinct (s_pad, t_pad) layout is a separate XLA program whose
+        first execution pays compile + device load (10-18s each through a
+        tunneled backend) — paying that mid-serving wrecks tail latency.
+        This is the analogue of the reference capturing every CUDA decode
+        graph at init (reference model_runner.py:640-715, bs ladder :686).
+        Inert batches (all slots -1, every lane kv_len 0) run each program
+        once without touching the KV cache.
+        """
+        import sys
+
+        bs = self.config.kvcache_block_size
+        s_cap = self.config.max_num_seqs
+        s_pads = sorted({seq_pad(1, s_cap), seq_pad(s_cap, s_cap)})
+        t_max = bucket(max(self.config.max_num_batched_tokens, PREFILL_TILE))
+        layouts = []
+        for s in s_pads:
+            layouts.append((s, s, s, s, self._p_pad))  # pure-decode step
+            ps = round_up(s, PREFILL_TILE)
+            t = bucket(ps + PREFILL_TILE)
+            while t <= t_max:
+                layouts.append((s, ps, t, s, self._p_pad))  # prefill/mixed
+                t *= 2
+        t0 = time.perf_counter()
+        for layout in layouts:
+            batches = [prepare_step_batch([], bs, layout)[0]] * self.dp
+            segments = layout[:3]
+            packed = self._put_batch(self._stack_packed(batches))
+            key = jax.random.fold_in(self._base_key, 0)
+            tokens, self.kv_pages = self._step(
+                self.params, self.kv_pages, packed, key, segments
+            )
+            jax.block_until_ready(tokens)
+        w = self.config.decode_burst
+        if w >= 2:
+            w = 1 << (w.bit_length() - 1)
+            for s in s_pads:
+                tp = np.zeros((self.dp, 2, s), np.int32)
+                tp[:, 1] = -1  # every lane inert
+                meta = self._put_batch(BurstMeta(
+                    tp=tp,
+                    pages=np.zeros((self.dp, s, self._p_pad), np.int32),
+                    temps=np.zeros((self.dp, s), np.float32),
+                ))
+                key = jax.random.fold_in(self._base_key, 0)
+                tokens, self.kv_pages = self._burst(
+                    self.params, self.kv_pages, meta, key, w
+                )
+                jax.block_until_ready(tokens)
+        print(
+            f"[nanovllm_tpu] warmed {len(layouts)} step + "
+            f"{len(s_pads) if w >= 2 else 0} burst programs "
+            f"in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+
     # -- per-step execution ---------------------------------------------------
 
     def run(self, seqs: list[Sequence], kind: str = "step") -> tuple[list[int], list[int]]:
@@ -441,8 +508,9 @@ class ModelRunner:
         t0 = time.perf_counter()
         bs = self.config.kvcache_block_size
         groups = self._group_indices(seqs)
+        s_cap = self.config.max_num_seqs
         layout = merge_layouts(
-            [step_layout([seqs[i] for i in grp], bs) for grp in groups]
+            [step_layout([seqs[i] for i in grp], bs, s_cap) for grp in groups]
         )
         layout = layout[:4] + (self._p_pad,)
         batches, sampled, lane_of = [], [], {}
@@ -476,7 +544,7 @@ class ModelRunner:
         """Execute a W-step decode burst; returns tokens as [w][len(seqs)]."""
         t0 = time.perf_counter()
         groups = self._group_indices(seqs)
-        s_pad = bucket(max(len(grp) for grp in groups))
+        s_pad = seq_pad(max(len(grp) for grp in groups), self.config.max_num_seqs)
         p_pad = self._p_pad
         tp = np.zeros((self.dp, 2, s_pad), np.int32)
         tp[:, 1] = -1  # pad lanes: no KV write

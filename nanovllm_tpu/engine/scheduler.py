@@ -28,6 +28,7 @@ SURVEY.md §3.2):
 from collections import deque
 
 from nanovllm_tpu.config import Config
+from nanovllm_tpu.constants import PREFILL_TILE, bucket, round_up
 from nanovllm_tpu.engine.block_manager import BlockManager
 from nanovllm_tpu.engine.sequence import Sequence, SequenceStatus
 
@@ -65,6 +66,25 @@ class Scheduler:
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
         self.stats = SchedulerStats()
+        # Prefill ROW budget (TPU-native, beyond the reference's token
+        # budget): each prefill chunk occupies ceil(c / PREFILL_TILE) query
+        # tiles in the padded batch, and the batch buffer also reserves one
+        # decode row per sequence lane.  Capping padded rows (not just raw
+        # tokens) at max_num_batched_tokens keeps the compiled buffer size
+        # t_pad <= the budget — without it, many small chunks inflate t_pad
+        # (and the matmul work) up to 4x past the budget.  Disabled for tiny
+        # test configs where a single tile exceeds the budget.
+        self.prefill_rows_cap = 0
+        if config.max_num_batched_tokens >= 4 * PREFILL_TILE:
+            lane_reserve = round_up(
+                bucket(min(config.max_num_seqs, config.max_num_batched_tokens)),
+                PREFILL_TILE,
+            )
+            self.prefill_rows_cap = max(
+                (config.max_num_batched_tokens - lane_reserve)
+                // PREFILL_TILE * PREFILL_TILE,
+                PREFILL_TILE,
+            )
 
     @property
     def block_manager(self) -> BlockManager:
@@ -123,6 +143,24 @@ class Scheduler:
                     return victim
             return None
 
+        prefill_rows = 0
+
+        def rows_fit(num_new: int, scheduled_any: bool) -> int:
+            """Clamp a prefill chunk to the remaining row budget.
+
+            Returns the (possibly clamped) chunk size, or 0 when it cannot be
+            scheduled this step.  A chunk that can never fit the cap is let
+            through when nothing else is scheduled yet (progress guarantee —
+            the batch buffer just grows one bucket)."""
+            if num_new <= 1 or not self.prefill_rows_cap:
+                return num_new
+            avail = self.prefill_rows_cap - prefill_rows
+            if self.chunked_prefill:
+                num_new = min(num_new, avail)
+            if num_new < 1 or round_up(num_new, PREFILL_TILE) > avail:
+                return num_new if not scheduled_any and prefill_rows == 0 else 0
+            return num_new
+
         i = 0
         while i < len(self.running) and budget > 0:
             seq = self.running[i]
@@ -130,7 +168,9 @@ class Scheduler:
             if self.chunked_prefill:
                 num_new = min(num_new, budget)
             num_new = min(num_new, self.max_model_len - 1 - seq.num_cached_tokens)
-            assert num_new > 0
+            num_new = rows_fit(num_new, bool(scheduled_running))
+            if num_new <= 0:
+                break  # row budget exhausted; later seqs wait for next step
             while not self.bm(seq).can_append(seq, num_new):
                 victim = pop_victim(seq.dp_group, i)
                 if victim is None:
@@ -143,6 +183,8 @@ class Scheduler:
                 self.bm(seq).may_append(seq)
                 scheduled_running.append(seq)
                 budget -= num_new
+                if num_new > 1:
+                    prefill_rows += round_up(num_new, PREFILL_TILE)
                 i += 1
                 continue
             # can_append still failing: preempt seq itself
@@ -169,7 +211,11 @@ class Scheduler:
                 bm = self.block_managers[g]
                 if self.chunked_prefill:
                     num_new = min(num_new, budget)
-                assert num_new > 0
+                num_new = rows_fit(
+                    num_new, bool(scheduled_running or scheduled_new)
+                )
+                if num_new <= 0:
+                    break  # row budget exhausted
                 # free-list hits still consume free blocks on allocate
                 if num_new > budget or not bm.can_allocate(hit_free + num_new):
                     break
@@ -178,6 +224,8 @@ class Scheduler:
                 assert seq.num_cached_tokens == hit_used + hit_free
                 self.stats.num_prefix_cached_tokens += seq.num_cached_tokens
                 budget -= num_new
+                if num_new > 1:
+                    prefill_rows += round_up(num_new, PREFILL_TILE)
                 seq.status = SequenceStatus.RUNNING
                 self.waiting.popleft()
                 self.running.append(seq)

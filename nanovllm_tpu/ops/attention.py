@@ -28,9 +28,9 @@ Backends:
 import jax
 import jax.numpy as jnp
 
-MASK_VALUE = -1e30  # finite: keeps fully-masked (padding) rows NaN-free
+from nanovllm_tpu.constants import PREFILL_TILE  # noqa: F401 (re-export)
 
-PREFILL_TILE = 128
+MASK_VALUE = -1e30  # finite: keeps fully-masked (padding) rows NaN-free
 
 
 def ragged_paged_attention_ref(

@@ -180,7 +180,11 @@ def _decode_kernel(
     t = pl.program_id(0)
     seq = tile_seq_ref[t]
     kv_len = kv_lens_ref[seq]
-    num_blocks = pl.cdiv(kv_len, page_size)
+    # one token per tile: its causal limit bounds the page walk.  Inert rows
+    # (padding lanes, non-decoding lanes in the all-lanes decode segment)
+    # carry position < 0 => limit 0 => zero loop iterations, zero fetches.
+    limit = jnp.clip(tile_kvpos_ref[t] + 1, 0, kv_len)
+    num_blocks = pl.cdiv(limit, page_size)
     num_groups = pl.cdiv(num_blocks, npp)
     layer = layer_ref[0]
     gp = npp * page_size  # kv columns per group
@@ -219,12 +223,14 @@ def _decode_kernel(
             for c in copies(slot, g, j):
                 c.wait()
 
-    start(0, 0)
+    @pl.when(num_groups > 0)
+    def _prime():
+        start(0, 0)
+
     q = q_ref[0]                                        # [kvh, QG, hd]
     kvh, qg, hd = q.shape
     r = kvh * qg                                        # stacked score rows
     d = 2 * kvh * hd                                    # interleaved KV row width
-    limit = jnp.minimum(tile_kvpos_ref[t] + 1, kv_len)  # one token per tile
 
     # Block-diagonal q: row block h carries q[h] at column block 2h (the K
     # head) and zeros elsewhere — ONE [r, d] x [d, cols] MXU dot then yields
