@@ -443,6 +443,26 @@ class ModelRunner:
 
         return burst
 
+    def _warmup_seqs(self, layout: tuple[int, ...]) -> list[Sequence]:
+        """Synthetic sequences giving a warmup batch real work under
+        ``layout``: one live decode row and (when the layout has a prefill
+        segment) one chunk spanning as much of it as the KV pool allows."""
+        dec_end, p_start, p_end, s_pad, p_pad = layout
+        bs = self.config.kvcache_block_size
+        pages_avail = max(min(self.config.num_kvcache_blocks, p_pad), 1)
+        seqs = []
+        d = Sequence([1, 1], block_size=bs)
+        d.num_cached_tokens, d.num_new_tokens = 1, 1
+        d.block_table = [0]
+        seqs.append(d)
+        n_new = min(p_end - p_start, pages_avail * bs)
+        if n_new > 0:
+            p = Sequence([1] * n_new, block_size=bs)
+            p.num_new_tokens = n_new
+            p.block_table = list(range((n_new + bs - 1) // bs))
+            seqs.append(p)
+        return seqs
+
     def warmup_buckets(self) -> None:
         """First-execute the whole step/burst program ladder.
 
@@ -451,8 +471,14 @@ class ModelRunner:
         tunneled backend) — paying that mid-serving wrecks tail latency.
         This is the analogue of the reference capturing every CUDA decode
         graph at init (reference model_runner.py:640-715, bs ladder :686).
-        Inert batches (all slots -1, every lane kv_len 0) run each program
-        once without touching the KV cache.
+        Warmup batches carry REAL work (live slots, real page tables,
+        positive kv_lens spanning the whole token segment): executing a
+        program with inert data (all slots -1, kv_len 0 — every kernel loop
+        at zero trips) does NOT absorb the one-time first-execution cost;
+        measured 14-74s on the first non-inert execution of each prefill
+        program even after an inert warmup run.  Pages 0..k receive garbage
+        K/V, which is safe at init: no request has been admitted, and every
+        page is fully rewritten before it is ever read once allocated.
         """
         import sys
 
@@ -470,7 +496,8 @@ class ModelRunner:
                 t *= 2
         t0 = time.perf_counter()
         for layout in layouts:
-            batches = [prepare_step_batch([], bs, layout)[0]] * self.dp
+            seqs = self._warmup_seqs(layout)
+            batches = [prepare_step_batch(seqs, bs, layout)[0]] * self.dp
             segments = layout[:3]
             packed = self._put_batch(self._stack_packed(batches))
             key = jax.random.fold_in(self._base_key, 0)
@@ -483,7 +510,9 @@ class ModelRunner:
             w = 1 << (w.bit_length() - 1)
             for s in s_pads:
                 tp = np.zeros((self.dp, 2, s), np.int32)
-                tp[:, 1] = -1  # every lane inert
+                tp[:, 1] = -1  # pad lanes inert
+                tp[:, 0, 0] = 1
+                tp[:, 1, 0] = 0  # lane 0 live: decode at position 0, page 0
                 meta = self._put_batch(BurstMeta(
                     tp=tp,
                     pages=np.zeros((self.dp, s, self._p_pad), np.int32),
@@ -494,6 +523,11 @@ class ModelRunner:
                     self.params, self.kv_pages, meta, key, w
                 )
                 jax.block_until_ready(tokens)
+        # One real D2H transfer: the tunnel's FIRST device->host fetch in a
+        # process pays a one-time 14-111s channel-establishment stall
+        # (measured; block_until_ready does not absorb it — only an actual
+        # transfer does).  Without this, the first serving step eats it.
+        jax.device_get(tokens)
         print(
             f"[nanovllm_tpu] warmed {len(layouts)} step + "
             f"{len(s_pads) if w >= 2 else 0} burst programs "
@@ -529,11 +563,13 @@ class ModelRunner:
         tokens_dev, self.kv_pages = self._step(
             self.params, self.kv_pages, packed, key, segments
         )
+        t2 = time.perf_counter()
         tokens = np.asarray(jax.device_get(tokens_dev))  # [dp, S]
         if self.stats is not None:
             n_tok = sum(s.num_new_tokens for s in seqs)
             self.stats.add(kind, "prep", t1 - t0)
-            self.stats.add(kind, "device", time.perf_counter() - t1, n_tok)
+            self.stats.add(kind, "dispatch", t2 - t1)
+            self.stats.add(kind, "device", time.perf_counter() - t2, n_tok)
         out = []
         for i in sampled:
             g, lane = lane_of[i]
