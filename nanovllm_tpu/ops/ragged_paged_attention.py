@@ -41,6 +41,12 @@ import os as _os
 
 DECODE_PAGES_PER_ITER = int(_os.environ.get("NVT_DECODE_NPP", "4"))
 
+# Cross-lane DMA prefetch in the decode kernel: while lane t computes, the
+# next live lane's first page group is already in flight (see _decode_kernel).
+# Measured: 843 -> 560 us/layer (1.80x -> 1.19x HBM speed-of-light) at 128
+# live lanes / ctx 1024 / KV8; bench.py 3215 -> 4228 tok/s.
+DECODE_XLANE = _os.environ.get("NVT_DECODE_XLANE", "1") == "1"
+
 
 def _attn_kernel(
     # scalar prefetch
@@ -153,6 +159,8 @@ def _decode_kernel(
     pages_per_layer: int,
     kv_int8: bool,
     npp: int,
+    xlane: bool,
+    nt: int,
 ):
     """Decode-mode kernel: grid (num_tiles,), one token's q heads per tile.
 
@@ -169,13 +177,29 @@ def _decode_kernel(
     bandwidth — ~3.8us x tiles x pages x layers was 89% of a decode step.
     Pages past ``kv_len`` inside the last group read the page table's padding
     entry (page 0) and are masked in the scores.
+
+    ``xlane=True`` extends the double buffer into ONE pipeline across lanes:
+    at production decode shapes a lane has a single page group (ctx <=
+    npp*page), so in-lane double buffering never overlaps anything — each
+    lane pays its full DMA latency serially.  Instead, the grid-persistent
+    slot parity lives in SMEM and a lane's last loop iteration issues the
+    *next live lane's* first group (``nxt_ref``, scalar-prefetched: first
+    live lane >= i) into the opposite slot, so lane t+1's fetch flies while
+    lane t computes and writes out.  A previous attempt bundled this with
+    unrolling 8 lanes per grid step and regressed 2.3x (see BENCHMARKS.md);
+    this variant keeps the grid and lane body identical to the baseline.
     """
+    if xlane:
+        nxt_ref, *refs = refs
+    else:
+        nxt_ref = None
     if kv_int8:
         (q_ref, kv_hbm, scale_hbm, out_ref,
-         kv_buf, scale_buf, sems, scale_sems) = refs
+         kv_buf, scale_buf, sems, scale_sems, *rest) = refs
     else:
-        q_ref, kv_hbm, out_ref, kv_buf, sems = refs
+        q_ref, kv_hbm, out_ref, kv_buf, sems, *rest = refs
         scale_hbm = scale_buf = scale_sems = None
+    par_ref = rest[0] if xlane else None
 
     t = pl.program_id(0)
     seq = tile_seq_ref[t]
@@ -189,9 +213,15 @@ def _decode_kernel(
     layer = layer_ref[0]
     gp = npp * page_size  # kv columns per group
 
-    def copies(slot, g, j):
-        b = jnp.minimum(g * npp + j, num_blocks - 1)
-        gpage = layer * pages_per_layer + page_indices_ref[seq, b]
+    def nblocks_of(tt):
+        lim = jnp.clip(tile_kvpos_ref[tt] + 1, 0, kv_lens_ref[tile_seq_ref[tt]])
+        return pl.cdiv(lim, page_size)
+
+    def copies(slot, g, j, tt=None):
+        tt = t if tt is None else tt
+        nb = num_blocks if tt is t else nblocks_of(tt)
+        b = jnp.minimum(g * npp + j, nb - 1)
+        gpage = layer * pages_per_layer + page_indices_ref[tile_seq_ref[tt], b]
         out = [pltpu.make_async_copy(
             kv_hbm.at[gpage], kv_buf.at[slot, j], sems.at[slot, j]
         )]
@@ -213,9 +243,9 @@ def _decode_kernel(
     # every buffer slot always holds real, finite data, so masked columns
     # contribute exact zeros to the p @ v dot (a predicated fetch would leave
     # uninitialized VMEM, and 0 * NaN = NaN)
-    def start(slot, g):
+    def start(slot, g, tt=None):
         for j in range(npp):
-            for c in copies(slot, g, j):
+            for c in copies(slot, g, j, tt):
                 c.start()
 
     def wait(slot, g):
@@ -223,9 +253,21 @@ def _decode_kernel(
             for c in copies(slot, g, j):
                 c.wait()
 
-    @pl.when(num_groups > 0)
-    def _prime():
-        start(0, 0)
+    if xlane:
+        # prime the pipeline once: grid step 0 issues the FIRST live lane's
+        # first group into slot 0 (live lanes may start anywhere)
+        @pl.when(t == 0)
+        def _prime():
+            par_ref[0] = 0
+            first = nxt_ref[0]
+
+            @pl.when(first < nt)
+            def _():
+                start(0, 0, first)
+    else:
+        @pl.when(num_groups > 0)
+        def _prime():
+            start(0, 0)
 
     q = q_ref[0]                                        # [kvh, QG, hd]
     kvh, qg, hd = q.shape
@@ -255,13 +297,28 @@ def _decode_kernel(
 
     def body(g, carry):
         m, l, acc = carry                               # [r] [r] [r, hd]
-        slot = jax.lax.rem(g, 2)
+        if xlane:
+            slot = par_ref[0]
+            # issue the NEXT work item's fetch before waiting on ours:
+            # (t, g+1) in-lane, else the next live lane's first group
+            in_lane = g + 1 < num_groups
+            nx_t = jnp.where(in_lane, t, nxt_ref[t + 1])
+            nx_g = jnp.where(in_lane, g + 1, 0)
 
-        @pl.when(g + 1 < num_groups)
-        def _():
-            start(jax.lax.rem(g + 1, 2), g + 1)
+            @pl.when(nx_t < nt)
+            def _():
+                start(1 - slot, nx_g, nx_t)
 
-        wait(slot, g)
+            wait(slot, g)
+            par_ref[0] = 1 - slot
+        else:
+            slot = jax.lax.rem(g, 2)
+
+            @pl.when(g + 1 < num_groups)
+            def _():
+                start(jax.lax.rem(g + 1, 2), g + 1)
+
+            wait(slot, g)
         # one cast feeds both dots (int8 KV -> exact in bf16)
         kv = kv_buf[slot].reshape(gp, d).astype(q.dtype)
         col = lax.broadcasted_iota(jnp.int32, (1, gp), 1) + g * gp
@@ -345,6 +402,17 @@ def ragged_paged_attention_pallas(
         # decode path: manual-DMA kernel, grid over tiles only; npp pages per
         # loop iteration (iteration overhead, not bandwidth, bounds the loop)
         npp = DECODE_PAGES_PER_ITER
+        xlane = DECODE_XLANE
+        scalars = [layer_arr, tile_seq, tile_kvpos, kv_lens, page_indices]
+        if xlane:
+            # nxt[i] = first live lane >= i (live = nonzero causal extent),
+            # with an nt sentinel; computed in XLA, fused for free
+            live = (tile_kvpos >= 0) & (kv_lens[tile_seq] > 0)
+            idx = jnp.where(live, jnp.arange(nt, dtype=jnp.int32), nt)
+            nxt = jnp.concatenate(
+                [lax.cummin(idx[::-1])[::-1], jnp.full((1,), nt, jnp.int32)]
+            )
+            scalars.append(nxt)
         in_specs = [
             pl.BlockSpec((1, kvh, qg, hd), lambda ti, *_: (ti, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -360,8 +428,10 @@ def ragged_paged_attention_pallas(
         scratch.append(pltpu.SemaphoreType.DMA((2, npp)))
         if kv_int8:
             scratch.append(pltpu.SemaphoreType.DMA((2, npp)))
+        if xlane:
+            scratch.append(pltpu.SMEM((1,), jnp.int32))  # pipeline slot parity
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=len(scalars),
             grid=(nt,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec((1, kvh, qg, hd), lambda ti, *_: (ti, 0, 0, 0)),
@@ -374,6 +444,8 @@ def ragged_paged_attention_pallas(
             pages_per_layer=pages_per_layer,
             kv_int8=kv_int8,
             npp=npp,
+            xlane=xlane,
+            nt=nt,
         )
         out = pl.pallas_call(
             kernel,
@@ -383,7 +455,7 @@ def ragged_paged_attention_pallas(
                 dimension_semantics=("arbitrary",),
             ),
             interpret=interpret,
-        )(layer_arr, tile_seq, tile_kvpos, kv_lens, page_indices, *inputs)
+        )(*scalars, *inputs)
         out = out.reshape(nt, kvh, q_tile, group, hd).transpose(0, 2, 1, 3, 4)
         return out.reshape(t, nh, hd)
 
