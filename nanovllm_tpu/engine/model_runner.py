@@ -106,7 +106,11 @@ class ModelRunner:
         self._burst = self._build_burst()
         self._score = self._build_score()
         self._step_counter = 0
-        self._base_key = jax.random.key(0)
+        # rbg = XLA's hardware-backed RngBitGenerator: the sampler draws a
+        # Gumbel per (lane, vocab) every decode step (~39M values at the
+        # flagship geometry) and threefry spends 0.57 ms/step of pure VPU
+        # time on that (measured; see BENCHMARKS.md decode ablation)
+        self._base_key = jax.random.key(0, impl="rbg")
         self.stats = None  # EngineStats, attached by LLMEngine
 
         warm = config.warmup_buckets

@@ -174,7 +174,7 @@ def decoder_layer(x, layer_params, kv_pages, layer, pages_per_layer, batch,
 
     # --- attention ---
     h = rms_norm(x, lp["input_norm"], spec.rms_eps)
-    qkv = quant_linear(h, lp["qkv"], impl=attn_impl)      # [T, (q+2kv)_l]
+    qkv = quant_linear(h, lp["qkv"], impl=attn_impl, layer=layer)  # [T, (q+2kv)_l]
     if spec.attention_bias:
         qkv = qkv + lp["qkv_b"]                           # Qwen2-style bias
     q, k, v = jnp.split(qkv, [spec.q_size_l, spec.q_size_l + spec.kv_size_l], axis=-1)
@@ -196,13 +196,15 @@ def decoder_layer(x, layer_params, kv_pages, layer, pages_per_layer, batch,
         batch.token_seq, batch.positions, segments,
         sm_scale=spec.sm_scale, impl=attn_impl,
     )
-    o = quant_linear(o.reshape(t, spec.q_size_l), lp["o"], impl=attn_impl)
+    o = quant_linear(o.reshape(t, spec.q_size_l), lp["o"], impl=attn_impl,
+                     layer=layer)
     x = x + _maybe_psum(o, axis_name)
 
     # --- mlp ---
     h = rms_norm(x, lp["post_norm"], spec.rms_eps)
-    gate_up = quant_linear(h, lp["gate_up"], impl=attn_impl)  # [T, 2*I_l]
-    m = quant_linear(silu_and_mul(gate_up), lp["down"], impl=attn_impl)
+    gate_up = quant_linear(h, lp["gate_up"], impl=attn_impl, layer=layer)
+    m = quant_linear(silu_and_mul(gate_up), lp["down"], impl=attn_impl,
+                     layer=layer)
     x = x + _maybe_psum(m, axis_name)
     return x, kv_pages
 
@@ -217,16 +219,25 @@ def forward_local(params, kv_pages, batch, segments, spec: ModelSpec, axis_name,
     x = embed_lookup(params["embed"], batch.token_ids, spec, axis_name)
     cos, sin = rope_cos_sin(batch.positions, spec.head_dim, spec.rope_theta)
 
-    def body(carry, lp):
+    # Quantized {"w","s"} weights stay STACKED [L, ...] and are closed over:
+    # quant_linear indexes the layer plane inside the pallas kernel (scalar-
+    # prefetched BlockSpec index_map).  Scanning them as xs instead makes XLA
+    # materialize each layer's slice — a full extra HBM pass over every
+    # weight, 0.73 ms/decode iteration at the flagship geometry.  Small
+    # per-layer tensors (norm scales, biases) still scan as xs.
+    big = {k: v for k, v in params["layers"].items() if isinstance(v, dict)}
+    rest = {k: v for k, v in params["layers"].items() if k not in big}
+
+    def body(carry, lp_rest):
         h, pages, layer = carry
         h, pages = decoder_layer(
-            h, lp, pages, layer, pages_per_layer, batch, cos, sin, segments,
-            spec, axis_name, attn_impl,
+            h, {**lp_rest, **big}, pages, layer, pages_per_layer, batch, cos,
+            sin, segments, spec, axis_name, attn_impl,
         )
         return (h, pages, layer + 1), None
 
     (x, kv_pages, _), _ = lax.scan(
-        body, (x, kv_pages, jnp.int32(0)), params["layers"]
+        body, (x, kv_pages, jnp.int32(0)), rest
     )
     x = rms_norm(x, params["final_norm"], spec.rms_eps)
     return x, kv_pages

@@ -27,12 +27,22 @@ from jax.experimental.pallas import tpu as pltpu
 GROUP = 128
 
 
-def _qmm_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, n_k, int4: bool):
+def _qmm_kernel(*refs, n_k, int4: bool, stacked: bool):
     # One grid step covers BK = groups_per_tile * GROUP contraction rows.
     # The weight tile is dequantized on the VPU (int8 -> f32 * scale -> bf16,
     # a fraction of the tile's MXU time) and fed to ONE wide dot — a
     # scale-after-dot design pins BK to GROUP (128) and pays 4-8x the grid
     # steps, which dominated prefill.
+    #
+    # ``stacked``: the weight/scale inputs carry a leading layer axis indexed
+    # by a scalar-prefetched layer id (the BlockSpec index_map picks the
+    # plane).  Slicing the layer OUT of the stack in XLA instead would
+    # materialize a full HBM copy of every weight on every use — measured
+    # 0.73 ms per decode iteration at the flagship geometry.
+    if stacked:
+        _, x_ref, w_ref, s_ref, out_ref, acc_ref = refs
+    else:
+        x_ref, w_ref, s_ref, out_ref, acc_ref = refs
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -40,18 +50,19 @@ def _qmm_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, n_k, int4: bool):
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     x = x_ref[...]
+    w_raw = w_ref[0] if stacked else w_ref[...]
     if int4:
         # unpack two nibbles per byte: low nibble = even k, high = odd k
-        packed = w_ref[...]                       # [BK//2, BN] int8
+        packed = w_raw                            # [BK//2, BN] int8
         low = jnp.left_shift(packed, 4)           # sign-extend low nibble
         low = jnp.right_shift(low, 4)
         high = jnp.right_shift(packed, 4)
         bk2, bn = packed.shape
         w = jnp.stack([low, high], axis=1).reshape(2 * bk2, bn)
     else:
-        w = w_ref[...]                            # [BK, BN] int8
+        w = w_raw                                 # [BK, BN] int8
     bk, bn = w.shape
-    s = s_ref[0]                                  # [gpt, BN]
+    s = s_ref[0, 0] if stacked else s_ref[0]      # [gpt, BN]
     g = bk // s.shape[0]
     # dequant in f32 (exact), then to the activation dtype: int8 x scale in
     # bf16 directly would round the scale product twice
@@ -70,18 +81,21 @@ def _qmm_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, n_k, int4: bool):
 
 def quant_matmul_pallas(
     x: jnp.ndarray,       # [T, K] activations
-    w_q: jnp.ndarray,     # [K, N] int8, or [K//2, N] int8 (packed int4)
-    scales: jnp.ndarray,  # [K//GROUP, N] float32
+    w_q: jnp.ndarray,     # [K, N] int8 / [K//2, N] (packed int4); +[L, ...]
+                          # leading layer axis when ``layer`` is given
+    scales: jnp.ndarray,  # [K//GROUP, N] float32 (+[L, ...] when stacked)
     *,
     int4: bool = False,
+    layer=None,           # scalar int32 plane index into stacked weights
     block_t: int = 256,
     block_n: int = 512,
     block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    stacked = layer is not None
     t, k = x.shape
-    n = w_q.shape[1]
-    k_w = w_q.shape[0] * (2 if int4 else 1)
+    n = w_q.shape[-1]
+    k_w = w_q.shape[-2] * (2 if int4 else 1)
     assert k_w == k and k % GROUP == 0, (k, k_w)
     bt = min(block_t, t)
     assert t % bt == 0, "activation rows must be bucketed to a multiple of bt"
@@ -97,8 +111,33 @@ def quant_matmul_pallas(
     grid = (t // bt, n // bn, n_k)
     wk_rows = bk // 2 if int4 else bk
 
+    kernel = functools.partial(_qmm_kernel, n_k=n_k, int4=int4, stacked=stacked)
+    out_shape = jax.ShapeDtypeStruct((t, n), x.dtype)
+    scratch = [pltpu.VMEM((bt, bn), jnp.float32)]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    if stacked:
+        num_layers = w_q.shape[0]
+        layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bt, bk), lambda i, j, kk, l: (i, kk)),
+                pl.BlockSpec((1, wk_rows, bn), lambda i, j, kk, l: (l[0], kk, j)),
+                pl.BlockSpec((1, 1, gpt, bn), lambda i, j, kk, l: (l[0], kk, 0, j)),
+            ],
+            out_specs=pl.BlockSpec((bt, bn), lambda i, j, kk, l: (i, j)),
+            scratch_shapes=scratch,
+        )
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            compiler_params=params, interpret=interpret,
+        )(layer_arr, x, w_q, scales.reshape(num_layers, n_k, gpt, n))
+
     out = pl.pallas_call(
-        functools.partial(_qmm_kernel, n_k=n_k, int4=int4),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bt, bk), lambda i, j, kk: (i, kk)),
@@ -108,11 +147,9 @@ def quant_matmul_pallas(
             pl.BlockSpec((1, gpt, bn), lambda i, j, kk: (kk, 0, j)),
         ],
         out_specs=pl.BlockSpec((bt, bn), lambda i, j, kk: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bt, bn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=params,
         interpret=interpret,
     )(x, w_q, scales.reshape(n_k, gpt, n))
     return out
@@ -127,7 +164,11 @@ def quant_matmul_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _qmm_a8_kernel(x_ref, w_ref, sx_ref, sw_ref, out_ref, acc_ref, *, n_k):
+def _qmm_a8_kernel(*refs, n_k, stacked: bool):
+    if stacked:
+        _, x_ref, w_ref, sx_ref, sw_ref, out_ref, acc_ref = refs
+    else:
+        x_ref, w_ref, sx_ref, sw_ref, out_ref, acc_ref = refs
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -135,31 +176,34 @@ def _qmm_a8_kernel(x_ref, w_ref, sx_ref, sw_ref, out_ref, acc_ref, *, n_k):
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     acc_ref[...] += lax.dot_general(
-        x_ref[...], w_ref[...],
+        x_ref[...], w_ref[0] if stacked else w_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
 
     @pl.when(k == n_k - 1)
     def _():
-        scaled = acc_ref[...].astype(jnp.float32) * sx_ref[...] * sw_ref[...]
+        sw = sw_ref[0] if stacked else sw_ref[...]
+        scaled = acc_ref[...].astype(jnp.float32) * sx_ref[...] * sw
         out_ref[...] = scaled.astype(out_ref.dtype)
 
 
 def quant_matmul_a8_pallas(
     x_q: jnp.ndarray,     # [T, K] int8 activations
     sx: jnp.ndarray,      # [T, 1] float32 per-token scales
-    w_q: jnp.ndarray,     # [K, N] int8
-    sw: jnp.ndarray,      # [1, N] float32 per-channel scales
+    w_q: jnp.ndarray,     # [K, N] int8 (+[L, ...] when ``layer`` is given)
+    sw: jnp.ndarray,      # [1, N] float32 per-channel scales (+[L, ...])
     *,
+    layer=None,           # scalar int32 plane index into stacked weights
     out_dtype=jnp.bfloat16,
     block_t: int = 256,
     block_n: int = 512,
     block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    stacked = layer is not None
     t, k = x_q.shape
-    n = w_q.shape[1]
+    n = w_q.shape[-1]
     bt = min(block_t, t)
     assert t % bt == 0, "activation rows must be bucketed to a multiple of bt"
     bn = block_n
@@ -170,8 +214,33 @@ def quant_matmul_a8_pallas(
         bk //= 2
     n_k = k // bk
 
+    kernel = functools.partial(_qmm_a8_kernel, n_k=n_k, stacked=stacked)
+    out_shape = jax.ShapeDtypeStruct((t, n), out_dtype)
+    scratch = [pltpu.VMEM((bt, bn), jnp.int32)]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    if stacked:
+        layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(t // bt, n // bn, n_k),
+            in_specs=[
+                pl.BlockSpec((bt, bk), lambda i, j, kk, l: (i, kk)),
+                pl.BlockSpec((1, bk, bn), lambda i, j, kk, l: (l[0], kk, j)),
+                pl.BlockSpec((bt, 1), lambda i, j, kk, l: (i, 0)),
+                pl.BlockSpec((1, 1, bn), lambda i, j, kk, l: (l[0], 0, j)),
+            ],
+            out_specs=pl.BlockSpec((bt, bn), lambda i, j, kk, l: (i, j)),
+            scratch_shapes=scratch,
+        )
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            compiler_params=params, interpret=interpret,
+        )(layer_arr, x_q, w_q, sx, sw)
+
     return pl.pallas_call(
-        functools.partial(_qmm_a8_kernel, n_k=n_k),
+        kernel,
         grid=(t // bt, n // bn, n_k),
         in_specs=[
             pl.BlockSpec((bt, bk), lambda i, j, kk: (i, kk)),
@@ -180,11 +249,9 @@ def quant_matmul_a8_pallas(
             pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
         ],
         out_specs=pl.BlockSpec((bt, bn), lambda i, j, kk: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((t, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bt, bn), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=params,
         interpret=interpret,
     )(x_q, w_q, sx, sw)
 
@@ -254,7 +321,7 @@ def dequant_weight(w_q: jnp.ndarray, scales: jnp.ndarray, *, int4: bool = False,
     return wf.reshape(*w.shape).astype(dtype)
 
 
-def quant_linear(x: jnp.ndarray, w, *, impl: str = "ref") -> jnp.ndarray:
+def quant_linear(x: jnp.ndarray, w, *, impl: str = "ref", layer=None) -> jnp.ndarray:
     """Linear layer dispatch: plain array or quantized {"w", "s"} dict.
 
     Scheme detection from shapes alone (the param pytree carries no static
@@ -262,21 +329,42 @@ def quant_linear(x: jnp.ndarray, w, *, impl: str = "ref") -> jnp.ndarray:
     ([N] vs the group-quant [K//GROUP, N]); int4 is detected from the shape
     relation (packed int4 stores K//2 rows while scales always describe
     K//GROUP groups).
+
+    When ``w`` carries a leading layer axis (stacked for lax.scan), ``layer``
+    selects the plane *inside* the pallas kernel via its BlockSpec index_map
+    — slicing it out in XLA would copy the full weight through HBM on every
+    use (2x the weight stream of a decode step).
     """
     if not isinstance(w, dict):
+        if x.ndim == w.ndim - 1 and layer is not None:  # stacked bf16
+            w = w[layer]
         return x @ w
-    if w["s"].ndim == w["w"].ndim - 1:                  # W8A8 per-channel
+    a8 = w["s"].ndim == w["w"].ndim - 1                 # W8A8 per-channel
+    stacked = w["w"].ndim == 3
+    if stacked and impl != "pallas":
+        w = {"w": w["w"][layer], "s": w["s"][layer]}
+        stacked = False
+    if a8:
         x_q, sx = quantize_activations(x)
-        sw = w["s"][None, :]
         if impl == "pallas":
-            return quant_matmul_a8_pallas(x_q, sx, w["w"], sw, out_dtype=x.dtype)
+            if stacked:
+                num_layers, _, n = w["w"].shape
+                return quant_matmul_a8_pallas(
+                    x_q, sx, w["w"], w["s"].reshape(num_layers, 1, n),
+                    layer=layer, out_dtype=x.dtype,
+                )
+            return quant_matmul_a8_pallas(
+                x_q, sx, w["w"], w["s"][None, :], out_dtype=x.dtype
+            )
         prod = lax.dot_general(
             x_q.astype(jnp.int32), w["w"].astype(jnp.int32),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        return (prod.astype(jnp.float32) * sx * sw).astype(x.dtype)
+        return (prod.astype(jnp.float32) * sx * w["s"][None, :]).astype(x.dtype)
     int4 = w["w"].shape[-2] != w["s"].shape[-2] * GROUP
     if impl == "pallas":
-        return quant_matmul_pallas(x, w["w"], w["s"], int4=int4)
+        return quant_matmul_pallas(
+            x, w["w"], w["s"], int4=int4, layer=layer if stacked else None
+        )
     return x @ dequant_weight(w["w"], w["s"], int4=int4, dtype=x.dtype)

@@ -61,6 +61,54 @@ class TestQuantMatmulKernel:
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    rtol=2e-3, atol=2e-3)
 
+    @pytest.mark.parametrize("int4", [False, True])
+    def test_stacked_layer_indexing(self, int4):
+        """Stacked [L, ...] weights + scalar layer index == per-layer result.
+
+        This is the scan-friendly path: the layer plane is selected inside
+        the kernel by the BlockSpec index_map (no XLA dynamic-slice copy).
+        """
+        rng = np.random.default_rng(7)
+        t, k, n, L = 16, 2 * GROUP, 256, 3
+        x = jnp.asarray(rng.standard_normal((t, k)).astype(np.float32))
+        qs, ss = zip(*[
+            quantize_weight(rng.standard_normal((k, n)).astype(np.float32) * 0.1,
+                            int4=int4)
+            for _ in range(L)
+        ])
+        wq = jnp.asarray(np.stack(qs))
+        sw = jnp.asarray(np.stack(ss))
+        for layer in range(L):
+            ours = quant_matmul_pallas(
+                x, wq, sw, int4=int4, layer=jnp.int32(layer), interpret=True
+            )
+            ref = quant_matmul_pallas(
+                x, wq[layer], sw[layer], int4=int4, interpret=True
+            )
+            np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+    def test_stacked_layer_indexing_a8(self):
+        rng = np.random.default_rng(8)
+        t, k, n, L = 16, 256, 384, 3
+        x = jnp.asarray(rng.standard_normal((t, k)).astype(np.float32))
+        x_q, sx = quantize_activations(x)
+        qs, ss = zip(*[
+            quantize_weight_a8(rng.standard_normal((k, n)).astype(np.float32) * 0.1)
+            for _ in range(L)
+        ])
+        wq = jnp.asarray(np.stack(qs))
+        sw = jnp.asarray(np.stack(ss))          # [L, 1, N]
+        for layer in range(L):
+            ours = quant_matmul_a8_pallas(
+                x_q, sx, wq, sw, layer=jnp.int32(layer),
+                out_dtype=jnp.float32, interpret=True,
+            )
+            ref = quant_matmul_a8_pallas(
+                x_q, sx, wq[layer], sw[layer], out_dtype=jnp.float32,
+                interpret=True,
+            )
+            np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
     def test_kernel_odd_n_tile(self):
         """N not divisible by the default block: block shrinks to fit."""
         rng = np.random.default_rng(3)
