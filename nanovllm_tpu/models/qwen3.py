@@ -190,7 +190,8 @@ def decoder_layer(x, layer_params, kv_pages, layer, pages_per_layer, batch,
 
     kv_pages = write_kv_pages(kv_pages, layer, pages_per_layer, k, v,
                               batch.slot_mapping, segments=segments,
-                              prefill_pages=batch.prefill_pages)
+                              prefill_pages=batch.prefill_pages,
+                              impl=attn_impl)
     o = paged_attention(
         q, kv_pages, layer, pages_per_layer, batch.kv_lens, batch.page_indices,
         batch.token_seq, batch.positions, segments,

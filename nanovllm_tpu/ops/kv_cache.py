@@ -15,8 +15,13 @@ XLA pick a transposed internal layout and insert a full-cache copy (12.6 GB)
 at program entry.  One page DMA still fetches both K and V.
 """
 
+import functools
+
+import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def is_quantized_cache(kv_pages) -> bool:
@@ -55,6 +60,100 @@ def _write_rows_scatter(kv_pages, layer, pages_per_layer, kv, slot):
     # layout lane-pads 2kvh (16) up to 128, an 8x HBM blowup
     return {
         "data": data.at[page_idx, offset].set(q, mode="drop"),
+        "scale": kv_pages["scale"].at[page_idx, :, offset].set(
+            scale, mode="drop"
+        ),
+    }
+
+
+def _dma_write_kernel(layer_ref, slots_ref, *refs, pages_per_layer, page_size,
+                      quant: bool, t: int):
+    """Decode KV write as raw DMAs: token i's [2kvh, hd] row lands at
+    (page, offset) decoded from ``slots_ref[i]``; slot < 0 rows are skipped.
+
+    XLA's row scatter costs ~25 us/layer for 256 rows (it serializes update
+    rows); here all rows are in flight at once — two fori_loops issue every
+    start, then collect every wait, all on one semaphore per plane (every
+    copy of a plane moves the same byte count, so waits are exchangeable).
+    """
+    # the aliased cache input (_din) still appears as a ref; the kernel only
+    # touches the output side of the alias
+    rows_ref, _din, data_out, sem = refs
+    del quant
+    layer = layer_ref[0]
+
+    def copy(i):
+        s = slots_ref[i]
+        gp = layer * pages_per_layer + s // page_size
+        off = s % page_size
+        return pltpu.make_async_copy(rows_ref.at[i], data_out.at[gp, off], sem)
+
+    def run(phase):
+        def body(i, _):
+            @pl.when(slots_ref[i] >= 0)
+            def _():
+                getattr(copy(i), phase)()
+            return 0
+        lax.fori_loop(0, t, body, 0)
+
+    run("start")
+    run("wait")
+
+
+def _write_rows_dma(kv_pages, layer, pages_per_layer, kv, slot,
+                    interpret=False):
+    """Pallas decode-segment DATA write: in-place (aliased) DMA scatter.
+
+    INT8 scales keep the XLA scatter: a token's scale column is a 1-lane
+    slice of the [LP, 2kvh, page] plane, below the (8, 128) DMA tiling.
+    """
+    quant = is_quantized_cache(kv_pages)
+    data = kv_pages["data"] if quant else kv_pages
+    page_size = data.shape[1]
+    t = kv.shape[0]
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    if quant:
+        rows, scale = _quantize_rows(kv)
+    else:
+        rows, scale = kv.astype(data.dtype), None
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    kernel = functools.partial(
+        _dma_write_kernel,
+        pages_per_layer=pages_per_layer,
+        page_size=page_size,
+        quant=quant,
+        t=t,
+    )
+    new_data = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(data.shape, data.dtype),
+        # alias indices count the pallas_call operand list INCLUDING the
+        # scalar-prefetch args (layer, slots) at positions 0-1
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(layer_arr, slot, rows, data)
+    if not quant:
+        return new_data
+
+    total_pages = data.shape[0]
+    page_idx = jnp.where(
+        slot >= 0, layer * pages_per_layer + slot // page_size, total_pages
+    ).astype(jnp.int32)
+    offset = jnp.where(slot >= 0, slot % page_size, 0).astype(jnp.int32)
+    return {
+        "data": new_data,
         "scale": kv_pages["scale"].at[page_idx, :, offset].set(
             scale, mode="drop"
         ),
@@ -144,6 +243,8 @@ def write_kv_pages(
     slot_mapping: jnp.ndarray,  # [T] int32 global slots; -1 = skip (padding)
     segments: tuple[int, int, int] | None = None,
     prefill_pages: jnp.ndarray | None = None,  # [PP, 2] (page id, token-row start)
+    impl: str = "ref",          # "pallas" = DMA scatter for the decode segment
+    interpret: bool = False,
 ):
     """Scatter directly into the full multi-layer cache.
 
@@ -160,15 +261,18 @@ def write_kv_pages(
     """
     t, kvh, hd = k.shape
     kv = jnp.stack([k, v], axis=2).reshape(t, 2 * kvh, hd)
+    write_rows = (
+        functools.partial(_write_rows_dma, interpret=interpret)
+        if impl == "pallas" else _write_rows_scatter
+    )
 
     if segments is None or prefill_pages is None or segments[2] <= segments[1]:
-        return _write_rows_scatter(kv_pages, layer, pages_per_layer, kv,
-                                   slot_mapping)
+        return write_rows(kv_pages, layer, pages_per_layer, kv, slot_mapping)
 
     dec_end, p_start, p_end = segments
     out = kv_pages
     if dec_end > 0:
-        out = _write_rows_scatter(
+        out = write_rows(
             out, layer, pages_per_layer, kv[:dec_end], slot_mapping[:dec_end]
         )
     # gap/tail padding rows carry slot -1 and are outside both slices

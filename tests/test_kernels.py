@@ -198,6 +198,46 @@ class TestKVWrite:
         assert abs(total - expected) < 1e-6
 
 
+class TestDmaKVWrite:
+    """The pallas DMA decode write must equal the XLA row scatter."""
+
+    @pytest.mark.parametrize("quant", [False, True])
+    def test_dma_write_matches_scatter(self, quant):
+        from nanovllm_tpu.ops.kv_cache import _write_rows_dma, _write_rows_scatter
+
+        rng = np.random.default_rng(12)
+        layers, ppl, kvh, hd, t = 2, 8, 2, 32, 10
+        if quant:
+            kvp = {
+                "data": jnp.asarray(
+                    rng.integers(-127, 127, (layers * ppl, PAGE, 2 * kvh, hd)),
+                    jnp.int8,
+                ),
+                "scale": jnp.asarray(
+                    rng.uniform(0.01, 1, (layers * ppl, 2 * kvh, PAGE)),
+                    jnp.float32,
+                ),
+            }
+        else:
+            kvp = jnp.asarray(
+                rng.standard_normal((layers * ppl, PAGE, 2 * kvh, hd)),
+                jnp.float32,
+            )
+        kv = jnp.asarray(
+            rng.standard_normal((t, 2 * kvh, hd)).astype(np.float32)
+        )
+        slots = np.full(t, -1, np.int32)
+        slots[[0, 3, 4, 7]] = [5, PAGE + 2, 3 * PAGE + 9, 6 * PAGE - 1]
+        slots = jnp.asarray(slots)
+        a = _write_rows_dma(kvp, jnp.int32(1), ppl, kv, slots, interpret=True)
+        b = _write_rows_scatter(kvp, jnp.int32(1), ppl, kv, slots)
+        if quant:
+            np.testing.assert_array_equal(np.asarray(a["data"]), np.asarray(b["data"]))
+            np.testing.assert_array_equal(np.asarray(a["scale"]), np.asarray(b["scale"]))
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestPlaneKVWrite:
     """The page-plane prefill write path must equal the row-scatter path."""
 
