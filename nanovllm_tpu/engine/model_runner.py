@@ -79,12 +79,24 @@ class ModelRunner:
         self.mesh = make_mesh(config.tensor_parallel_size, devices, self.dp)
         self.attn_impl = self._pick_attn_impl()
 
-        params_np = self._load_or_init_params()
-        if config.quantization != "none":
-            from nanovllm_tpu.utils.loader import quantize_params
+        if config.random_weights:
+            from nanovllm_tpu.utils.loader import init_random_params
 
-            params_np = quantize_params(
-                params_np, config.quantization, config.tensor_parallel_size
+            params_np = init_random_params(0, self.spec)
+            if config.quantization != "none":
+                from nanovllm_tpu.utils.loader import quantize_params
+
+                params_np = quantize_params(
+                    params_np, config.quantization, config.tensor_parallel_size
+                )
+        else:
+            # lazy host-sliced load: each host reads only its own shards of
+            # the checkpoint (utils/lazy_loader.py); quantization is applied
+            # slice-wise inside the leaf fetches
+            from nanovllm_tpu.utils.lazy_loader import load_qwen3_params_lazy
+
+            params_np = load_qwen3_params_lazy(
+                config.model, self.spec, config.quantization
             )
         self._pspecs = pspecs_for(params_np)
         self.params = shard_params(params_np, self.mesh)
@@ -130,13 +142,6 @@ class ModelRunner:
                 "pallas paged attention needs kvcache_block_size % 16 == 0"
             )
         return impl
-
-    def _load_or_init_params(self):
-        from nanovllm_tpu.utils.loader import init_random_params, load_qwen3_params
-
-        if self.config.random_weights:
-            return init_random_params(0, self.spec)
-        return load_qwen3_params(self.config.model, self.spec)
 
     def _kv_page_shape(self, num_blocks: int):
         """[dp * L * blocks, page, 2kvh, hd] — blocks are PER dp group.

@@ -40,6 +40,15 @@ def sample_local(
     local_max = jnp.max(scores, axis=-1)                          # [S]
     local_tok = vocab_start + jnp.argmax(scores, axis=-1).astype(jnp.int32)
 
+    return resolve_shards(local_max, local_tok, axis_name)
+
+
+def resolve_shards(
+    local_max: jnp.ndarray,  # [S] per-shard winning score
+    local_tok: jnp.ndarray,  # [S] per-shard winning global token id
+    axis_name: str | None,
+) -> jnp.ndarray:
+    """Cross-shard argmax: one tiny [tp, S] all_gather resolves the winner."""
     if axis_name is None:
         return local_tok
     all_max = lax.all_gather(local_max, axis_name)                # [tp, S]

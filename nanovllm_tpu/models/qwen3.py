@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from nanovllm_tpu.layers.common import apply_rope, rms_norm, rope_cos_sin, silu_and_mul
-from nanovllm_tpu.layers.sampler import sample_local
+from nanovllm_tpu.layers.sampler import resolve_shards, sample_local
 from nanovllm_tpu.ops.attention import paged_attention
 from nanovllm_tpu.ops.kv_cache import write_kv_pages
 from nanovllm_tpu.ops.quant_matmul import quant_linear
@@ -131,9 +131,15 @@ class ModelSpec:
 
     @property
     def vocab_padded(self):
-        """Vocab rounded up so it divides tp (pad rows are masked everywhere)."""
+        """Vocab rounded up to 1024 * tp (pad rows are zero + masked
+        everywhere).  The per-shard slice must divide by a large power of two
+        so the fused sampling kernel (ops/fused_sample.py) gets full-width
+        vocab tiles — the true vocab is typically odd-factored (151936 =
+        2^7 * 1187), which would shrink tiles to 128 and multiply grid
+        overhead ~8x."""
         v, tp = self.vocab_size, self.tp_size
-        return (v + tp - 1) // tp * tp
+        m = 1024 * tp
+        return (v + m - 1) // m * m
 
     @property
     def vocab_l(self):
@@ -317,10 +323,26 @@ def forward_and_sample(params, kv_pages, batch, key, spec: ModelSpec, axis_name,
         params, kv_pages, batch, segments, spec, axis_name, attn_impl
     )
     sel = jnp.take(hidden, batch.logits_indices, axis=0)   # [S, H]
-    logits = compute_logits_local(params, sel, spec)       # [S, V_l]
     shard = lax.axis_index(axis_name) if axis_name else 0
     if axis_name:
         key = jax.random.fold_in(key, shard)
+    if attn_impl == "pallas":
+        # fused LM-head + Gumbel-max kernel: streams the head once, never
+        # materializes [S, V] logits or noise (ops/fused_sample.py)
+        from nanovllm_tpu.ops.fused_sample import fused_lm_sample
+
+        lm = params["embed"] if spec.tie_embeddings else params["lm_head"]
+        seeds = lax.bitcast_convert_type(
+            jax.random.key_data(key).reshape(-1), jnp.int32
+        )
+        seeds = jnp.resize(seeds, (4,))
+        local_tok, local_max = fused_lm_sample(
+            sel, lm, batch.temperatures, seeds, shard * spec.vocab_l,
+            vocab_size=spec.vocab_size,
+        )
+        tokens = resolve_shards(local_max, local_tok, axis_name)
+        return tokens, new_kv_pages
+    logits = compute_logits_local(params, sel, spec)       # [S, V_l]
     tokens = sample_local(
         logits, batch.temperatures, key,
         vocab_start=shard * spec.vocab_l,

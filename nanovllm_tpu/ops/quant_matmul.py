@@ -88,8 +88,11 @@ def quant_matmul_pallas(
     int4: bool = False,
     layer=None,           # scalar int32 plane index into stacked weights
     block_t: int = 256,
-    block_n: int = 512,
-    block_k: int = 512,
+    # (1024, 1024) measured 27% faster than (512, 512) at decode shapes on
+    # v5e (tools/bench_qmm.py, RTT-cancelled): fewer grid steps, same VPU
+    # dequant cost; bf16-dequant and scale-after-dot variants measured SLOWER
+    block_n: int = 1024,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     stacked = layer is not None

@@ -88,7 +88,7 @@ def run_ours(path, cfg, prompt, decode_tokens=()):
 def test_prefill_logits_match_hf(tiny_ckpt):
     path, cfg = tiny_ckpt
     prompt = [3, 17, 99, 5, 42, 7, 23, 88, 1, 64]
-    ours = run_ours(path, cfg, prompt)[0]
+    ours = run_ours(path, cfg, prompt)[0][:, : cfg.vocab_size]  # drop vocab pad
     theirs = hf_logits(path, prompt)
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=2e-4, atol=2e-4)
 
@@ -101,8 +101,9 @@ def test_decode_through_paged_kv_matches_hf(tiny_ckpt):
     full = prompt + decode
     theirs = hf_logits(path, full)
     # decode-step logits must equal the HF full-context rows
-    np.testing.assert_allclose(np.asarray(rows[1][0]), theirs[len(prompt)], rtol=3e-4, atol=3e-4)
-    np.testing.assert_allclose(np.asarray(rows[2][0]), theirs[len(prompt) + 1], rtol=3e-4, atol=3e-4)
+    v = cfg.vocab_size
+    np.testing.assert_allclose(np.asarray(rows[1][0][:v]), theirs[len(prompt)], rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(rows[2][0][:v]), theirs[len(prompt) + 1], rtol=3e-4, atol=3e-4)
 
 
 def test_padded_tokens_do_not_corrupt_state(tiny_ckpt):

@@ -38,6 +38,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from nanovllm_tpu.ops.ragged_paged_attention import ragged_paged_attention_pallas
 
     nh = args.kvh * args.group
