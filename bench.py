@@ -54,6 +54,7 @@ def main():
     quant = os.environ.get("NVT_QUANT", "int8")      # none | int8 | int4
     kv_dtype = os.environ.get("NVT_KV", "int8")      # auto | int8
     burst = getenv_int("NVT_BURST", 16)              # decode-burst window W
+    block = getenv_int("NVT_BLOCK", 128)             # KV page / prefix block
 
     geom = dict(QWEN3_0_6B, layers=layers)
     hf = _hf_cfg(**geom)
@@ -68,7 +69,7 @@ def main():
         max_num_batched_tokens=2048,
         max_num_seqs=min(num_seqs, 256),
         decode_burst=burst,
-        kvcache_block_size=256,
+        kvcache_block_size=block,
         attention_impl="pallas" if jax.default_backend() == "tpu" else "ref",
     )
 

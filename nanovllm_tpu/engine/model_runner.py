@@ -141,6 +141,13 @@ class ModelRunner:
             assert self.config.kvcache_block_size % 16 == 0, (
                 "pallas paged attention needs kvcache_block_size % 16 == 0"
             )
+            if self.config.kv_cache_dtype == "int8":
+                # the scale plane [LP, 2kvh, page] keeps pages on the lane
+                # axis; its per-page DMA slice must be 128-lane aligned
+                assert self.config.kvcache_block_size % 128 == 0, (
+                    "INT8 KV with pallas attention needs "
+                    "kvcache_block_size % 128 == 0"
+                )
         return impl
 
     def _kv_page_shape(self, num_blocks: int):

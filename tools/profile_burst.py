@@ -30,7 +30,7 @@ def main():
         hf_config=hf, random_weights=True, dtype="bfloat16",
         quantization="int8", kv_cache_dtype="int8",
         max_model_len=4096, max_num_batched_tokens=2048, max_num_seqs=256,
-        decode_burst=16, kvcache_block_size=256, attention_impl="pallas",
+        decode_burst=16, kvcache_block_size=128, attention_impl="pallas",
     )
 
     prompts = [
