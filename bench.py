@@ -55,6 +55,7 @@ def main():
     kv_dtype = os.environ.get("NVT_KV", "int8")      # auto | int8
     burst = getenv_int("NVT_BURST", 32)              # decode-burst window W
     block = getenv_int("NVT_BLOCK", 128)             # KV page / prefix block
+    budget = getenv_int("NVT_BUDGET", 8192)          # max_num_batched_tokens
 
     geom = dict(QWEN3_0_6B, layers=layers)
     hf = _hf_cfg(**geom)
@@ -66,7 +67,7 @@ def main():
         quantization=quant,
         kv_cache_dtype=kv_dtype,
         max_model_len=4096,
-        max_num_batched_tokens=2048,
+        max_num_batched_tokens=budget,
         max_num_seqs=min(num_seqs, 256),
         decode_burst=burst,
         kvcache_block_size=block,

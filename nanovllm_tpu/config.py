@@ -54,6 +54,14 @@ class Config:
     # KV cache dtype: "auto" (= activation dtype) | "int8" (KV8: dynamic
     # per-token-head scales, dequant fused into the attention kernel).
     kv_cache_dtype: str = "auto"
+    # Async scheduling (vLLM-v1 analogue): schedule and dispatch step N+1
+    # before step N's sampled tokens reach the host — decode inputs feed
+    # device-side from the previous program's output, and EOS is applied one
+    # step late (the overshoot is discarded, like decode-burst acceptance).
+    # Hides the host<->device round-trip at every step boundary.  Greedy
+    # outputs are bit-identical to sync; stochastic sampling draws the same
+    # per-step keys unless an EOS shifts the step count.
+    async_scheduling: bool = True
     # Hand the runner an HF config object directly (tests / random-init bench
     # runs that have no checkpoint directory on disk).
     hf_config: Any = field(default=None, repr=False)

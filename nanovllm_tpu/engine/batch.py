@@ -43,6 +43,10 @@ class StepBatch(NamedTuple):
     positions: np.ndarray      # [T] int32
     slot_mapping: np.ndarray   # [T] int32, -1 = padding (no KV write)
     token_seq: np.ndarray      # [T] int32 sequence lane of each row
+    # async scheduling: lane in the PREVIOUS program's token output that
+    # supplies this row's input token (-1 = use token_ids).  Lets a decode
+    # step consume the in-flight step's sample without a host round-trip.
+    fb_idx: np.ndarray         # [T] int32
     kv_lens: np.ndarray        # [S] int32, 0 = padded lane
     page_indices: np.ndarray   # [S, PAGES] int32
     logits_indices: np.ndarray  # [S] int32 (row of each lane's last token)
@@ -63,7 +67,7 @@ class PackedBatch(NamedTuple):
     analogue is its 7 pinned async H2D copies (model_runner.py:486-492).
     """
 
-    tok: np.ndarray    # [4, T] int32: token_ids, positions, slot_mapping, token_seq
+    tok: np.ndarray    # [5, T] int32: token_ids, positions, slot_mapping, token_seq, fb_idx
     seq: np.ndarray    # [2, S] int32: kv_lens, logits_indices
     temps: np.ndarray  # [S] float32
     pages: np.ndarray  # [S, PAGES] int32
@@ -72,7 +76,8 @@ class PackedBatch(NamedTuple):
     @classmethod
     def pack(cls, b: StepBatch) -> "PackedBatch":
         return cls(
-            tok=np.stack([b.token_ids, b.positions, b.slot_mapping, b.token_seq]),
+            tok=np.stack([b.token_ids, b.positions, b.slot_mapping,
+                          b.token_seq, b.fb_idx]),
             seq=np.stack([b.kv_lens, b.logits_indices]),
             temps=b.temperatures,
             pages=b.page_indices,
@@ -85,6 +90,7 @@ class PackedBatch(NamedTuple):
             positions=self.tok[1],
             slot_mapping=self.tok[2],
             token_seq=self.tok[3],
+            fb_idx=self.tok[4],
             kv_lens=self.seq[0],
             page_indices=self.pages,
             logits_indices=self.seq[1],
@@ -176,6 +182,7 @@ def prepare_step_batch(
     seqs: list[Sequence],
     block_size: int,
     layout: tuple[int, ...] | None = None,
+    fb_lane: dict[int, int] | None = None,
 ) -> tuple[StepBatch, list[int], tuple[int, int, int]]:
     """Build the padded StepBatch for the scheduled sequences.
 
@@ -207,6 +214,7 @@ def prepare_step_batch(
     positions = np.full(t_pad, INERT_POS, dtype=np.int32)
     slot_mapping = np.full(t_pad, -1, dtype=np.int32)
     token_seq = np.zeros(t_pad, dtype=np.int32)
+    fb_idx = np.full(t_pad, -1, dtype=np.int32)
     # every lane owns its decode row, even when not decoding this step
     token_seq[:dec_end] = np.arange(dec_end, dtype=np.int32)
     kv_lens = np.zeros(s_pad, dtype=np.int32)
@@ -221,6 +229,17 @@ def prepare_step_batch(
         n_new = seq.num_new_tokens
         start, end = seq.num_cached_tokens, seq.num_context_tokens
         sl = slice(row0, row0 + n_new)
+        if seq.num_pending and end > len(seq) - seq.num_pending:
+            # the chunk's input includes a placeholder whose value is still on
+            # device: only the single decode input token may be pending, and
+            # it is sourced from the previous program's output lane
+            assert n_new == 1 and end == len(seq), (
+                "placeholder token inside a prefill chunk"
+            )
+            assert fb_lane is not None and seq.seq_id in fb_lane, (
+                "pending token with no feedback lane"
+            )
+            fb_idx[row0] = fb_lane[seq.seq_id]
         token_ids[sl] = seq.token_ids[start:end]
         pos = np.arange(start, end, dtype=np.int32)
         positions[sl] = pos
@@ -261,6 +280,7 @@ def prepare_step_batch(
         positions=positions,
         slot_mapping=slot_mapping,
         token_seq=token_seq,
+        fb_idx=fb_idx,
         kv_lens=kv_lens,
         page_indices=page_indices,
         logits_indices=logits_indices,

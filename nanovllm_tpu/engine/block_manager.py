@@ -202,6 +202,13 @@ class BlockManager:
                 block = self._take_free_block(self.free_queue[0])
                 seq.block_table.append(block.block_id)
             if len(token_ids) == self.block_size:
+                if start + self.block_size > len(seq) - seq.num_pending:
+                    # async scheduling: the block contains a placeholder token
+                    # whose value is still on device — hashing now would
+                    # register a wrong prefix.  Deferred to commit_full_blocks
+                    # once the value is patched (engine values-postprocess).
+                    seq.hash_deferred = True
+                    continue
                 prev = self.blocks[seq.block_table[idx - 1]].hash if idx > 0 else NO_HASH
                 self._register(block, hash_block(token_ids, prev), token_ids)
 
@@ -221,15 +228,21 @@ class BlockManager:
         seq.block_table.append(block.block_id)
         return True
 
-    def commit_full_blocks(self, seq: Sequence) -> None:
+    def commit_full_blocks(self, seq: Sequence, upto_tokens: int | None = None) -> None:
         """Register prefix-cache hashes for owned blocks that became exactly
-        full outside the normal may_append path (decode-burst acceptance).
+        full outside the normal may_append path (decode-burst acceptance,
+        async deferred hashes).
 
-        Walks the chain over blocks fully covered by ``num_cached_tokens``;
+        Walks the chain over blocks fully covered by ``num_cached_tokens``
+        (further clipped to ``upto_tokens`` when given — async callers pass
+        ``len(seq) - num_pending`` so no placeholder value is ever hashed);
         blocks already hashed are skipped (their hash is identical by
         construction of the chain).
         """
-        for idx in range(seq.num_cached_blocks):
+        n = seq.num_cached_blocks
+        if upto_tokens is not None:
+            n = min(n, upto_tokens // self.block_size)
+        for idx in range(n):
             block = self.blocks[seq.block_table[idx]]
             if block.hash != NO_HASH:
                 continue

@@ -40,6 +40,10 @@ class LLMEngine:
         self.stats = EngineStats()
         if self.stats.enabled:
             self.model_runner.stats = self.stats
+        # async scheduling state: the in-flight dispatched step, plus finished
+        # sequences awaiting their device-side token values before emission
+        self._pending = None
+        self._finished_buf: list[Sequence] = []
 
     @staticmethod
     def _load_tokenizer(model: str):
@@ -70,6 +74,7 @@ class LLMEngine:
         disconnects and deadline enforcement (SURVEY.md §5.3 notes the
         reference has no request timeouts at all).
         """
+        self._drain_pending()
         return self.scheduler.abort(seq_id)
 
     def step(self):
@@ -79,7 +84,71 @@ class LLMEngine:
         [(seq_id, completion_token_ids)] for sequences finished this step;
         num_total_tokens counts their full lengths (throughput accounting,
         reference llm_engine.py:159-189).
+
+        Async scheduling (config.async_scheduling): step N+1 is dispatched
+        BEFORE step N's tokens are fetched, so outputs lag the dispatch by
+        one call; the final call drains the last in-flight step.
         """
+        if not self.config.async_scheduling:
+            return self._step_sync()
+        prev = self._pending
+        self._pending = None
+        if not self.scheduler.is_finished():
+            with self.stats.measure("-", "schedule"):
+                seqs = self.scheduler.schedule()
+                w = self.scheduler.burst_window(seqs, self.config.decode_burst)
+            if w >= 2:
+                w = 1 << (w.bit_length() - 1)  # power-of-two jit buckets
+                handle = self.model_runner.run_burst_async(seqs, w)
+                self._finished_buf.extend(
+                    self.scheduler.postprocess_burst_counts(
+                        seqs, handle.w, handle.pending
+                    )
+                )
+            else:
+                kind = (
+                    "decode" if all(s.num_new_tokens == 1 for s in seqs)
+                    else "prefill" if all(s.num_new_tokens > 1 for s in seqs)
+                    else "mixed"
+                )
+                handle = self.model_runner.run_async(seqs, kind)
+                self._finished_buf.extend(
+                    self.scheduler.postprocess_counts(
+                        seqs, handle.sampled, handle.pending
+                    )
+                )
+            self._pending = handle
+        if prev is not None:
+            self._resolve_handle(prev)
+        ready = [s for s in self._finished_buf if s.num_pending == 0]
+        self._finished_buf = [s for s in self._finished_buf if s.num_pending > 0]
+        outputs = [(s.seq_id, s.completion_token_ids) for s in ready]
+        return outputs, sum(len(s) for s in ready)
+
+    def _resolve_handle(self, handle) -> None:
+        """Fetch an in-flight step's tokens and run the values postprocess."""
+        tokens = self.model_runner.resolve(handle)
+        resolved = []
+        step_count: dict[int, int] = {}
+        for i, idx in handle.pending:
+            g, lane = handle.lane_of[i]
+            if handle.w >= 2:
+                k = step_count.get(i, 0)
+                step_count[i] = k + 1
+                val = int(tokens[g, k, lane])
+            else:
+                val = int(tokens[g, lane])
+            resolved.append((handle.seqs[i], idx, val))
+        with self.stats.measure(handle.kind, "post"):
+            self._finished_buf.extend(self.scheduler.postprocess_values(resolved))
+
+    def _drain_pending(self) -> None:
+        if self._pending is not None:
+            handle = self._pending
+            self._pending = None
+            self._resolve_handle(handle)
+
+    def _step_sync(self):
         with self.stats.measure("-", "schedule"):
             seqs = self.scheduler.schedule()
             w = self.scheduler.burst_window(seqs, self.config.decode_burst)
@@ -104,7 +173,11 @@ class LLMEngine:
         return outputs, num_total_tokens
 
     def is_finished(self) -> bool:
-        return self.scheduler.is_finished()
+        return (
+            self.scheduler.is_finished()
+            and self._pending is None
+            and not self._finished_buf
+        )
 
     # -- scoring / perplexity API (not in the reference; BASELINE ppl gates) --
 
@@ -116,6 +189,7 @@ class LLMEngine:
         paged KV cache in budget-sized chunks; the prefix cache is bypassed
         (fresh blocks, no hash registration) so every position is computed.
         """
+        self._drain_pending()
         bm = self.scheduler.block_manager
         budget = self.config.max_num_batched_tokens
         results = []

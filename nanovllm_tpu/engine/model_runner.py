@@ -62,9 +62,30 @@ def _dtype_size(dtype: str) -> int:
 class BurstMeta(NamedTuple):
     """Transfer buffers for a decode burst (3 H2D copies)."""
 
-    tp: np.ndarray     # [2, S] int32: input token, first write position (-1 = pad lane)
+    tp: np.ndarray     # [3, S] int32: input token, first write position
+    #                    (-1 = pad lane), feedback lane (-1 = use the token)
     pages: np.ndarray  # [S, PAGES] int32 block tables
     temps: np.ndarray  # [S] float32
+
+
+class StepHandle(NamedTuple):
+    """An in-flight dispatched step (async scheduling).
+
+    ``tokens_dev`` is the program's token output, NOT yet fetched: [dp, S_CAP]
+    for a step, [dp, w, s_pad] for a burst.  ``sampled`` indexes into ``seqs``
+    (step) or covers every seq (burst).  ``pending`` records, per sampled seq,
+    the index in seq.token_ids where its placeholder was appended (filled by
+    the scheduler's counts-postprocess).
+    """
+
+    seqs: list
+    tokens_dev: object
+    sampled: list[int]
+    lane_of: dict
+    kind: str
+    w: int                      # 0 = single step, >= 2 = burst width
+    pending: list               # [(seq, [token_index, ...])]
+    t_dispatch: float
 
 
 class ModelRunner:
@@ -114,6 +135,15 @@ class ModelRunner:
         bs = config.kvcache_block_size
         self._p_pad = bucket((config.max_model_len + bs - 1) // bs + 1)
 
+        # fixed feedback width: every program's token output is padded to
+        # S_CAP lanes so the NEXT program can consume it as its feedback
+        # operand regardless of either step's s_pad bucket
+        self._s_cap = seq_pad(config.max_num_seqs, config.max_num_seqs)
+        self._fb = jax.device_put(
+            jnp.zeros((self.dp, self._s_cap), jnp.int32),
+            NamedSharding(self.mesh, P(DP_AXIS, None)),
+        )
+        self._fb_lane: dict[int, int] = {}
         self._step = self._build_step()
         self._burst = self._build_burst()
         self._score = self._build_score()
@@ -271,27 +301,39 @@ class ModelRunner:
         packed_specs = PackedBatch(*([P(DP_AXIS)] * len(PackedBatch._fields)))
         mesh = self.mesh
         split = self._dp_split
+        s_cap = self._s_cap
 
-        @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(1,))
-        def step(params, kv_pages, packed, key, segments):
-            def local(params, kv_pages, packed, key):
+        @functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(1,))
+        def step(params, kv_pages, packed, fb, key, segments):
+            def local(params, kv_pages, packed, fb, key):
                 # kv arrives as the group's own flat 4-D shard; only the
                 # small batch arrays carry an explicit leading dp axis
                 key = jax.random.fold_in(key, lax.axis_index(DP_AXIS))
+                batch = split(packed).unpack()
+                # async scheduling: rows whose input token is still on device
+                # read it from the previous program's output (fb_idx = lane)
+                fbv = fb[0]
+                batch = batch._replace(token_ids=jnp.where(
+                    batch.fb_idx >= 0,
+                    fbv[jnp.clip(batch.fb_idx, 0, fbv.shape[0] - 1)],
+                    batch.token_ids,
+                ))
                 tokens, kv = forward_and_sample(
-                    params, kv_pages, split(packed).unpack(), key,
+                    params, kv_pages, batch, key,
                     spec, TP_AXIS, attn_impl, segments=segments,
                 )
+                # pad to the fixed feedback width (next program's fb operand)
+                tokens = jnp.pad(tokens, (0, s_cap - tokens.shape[0]))
                 return tokens[None], kv
 
             fn = _shard_map(
                 local,
                 mesh=mesh,
-                in_specs=(pspecs, kvspec, packed_specs, P()),
+                in_specs=(pspecs, kvspec, packed_specs, P(DP_AXIS, None), P()),
                 out_specs=(P(DP_AXIS, None), kvspec),
                 check_vma=False,
             )
-            return fn(params, kv_pages, packed, key)
+            return fn(params, kv_pages, packed, fb, key)
 
         return step
 
@@ -404,12 +446,20 @@ class ModelRunner:
         mesh = self.mesh
         split = self._dp_split
 
-        @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(1,))
-        def burst(params, kv_pages, meta, key, w):
-            def local(params, kv_pages, meta, key):
+        s_cap = self._s_cap
+
+        @functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(1,))
+        def burst(params, kv_pages, meta, fb, key, w):
+            def local(params, kv_pages, meta, fb, key):
                 key = jax.random.fold_in(key, lax.axis_index(DP_AXIS))
                 meta = split(meta)
-                tokens0 = meta.tp[0]
+                fbv = fb[0]
+                fb_idx = meta.tp[2]
+                tokens0 = jnp.where(
+                    fb_idx >= 0,
+                    fbv[jnp.clip(fb_idx, 0, fbv.shape[0] - 1)],
+                    meta.tp[0],
+                )
                 pos0 = meta.tp[1]
                 s = tokens0.shape[0]
                 lane = jnp.arange(s, dtype=jnp.int32)
@@ -430,6 +480,7 @@ class ModelRunner:
                         positions=pos,
                         slot_mapping=slot,
                         token_seq=lane,
+                        fb_idx=jnp.full_like(lane, -1),  # resolved at burst entry
                         # pad lanes get kv_len 0: the decode kernel's causal
                         # limit hits 0 and skips them (no fetch, no compute)
                         kv_lens=jnp.where(valid, pos + 1, 0),
@@ -443,19 +494,20 @@ class ModelRunner:
                     )
                     return (toks2, pages), toks2
 
-                (_, kv_pages_out), tokens_ws = lax.scan(
+                (toks_last, kv_pages_out), tokens_ws = lax.scan(
                     body, (tokens0, kv_pages), jnp.arange(w, dtype=jnp.int32)
                 )
-                return tokens_ws[None], kv_pages_out
+                fb_out = jnp.pad(toks_last, (0, s_cap - s))
+                return tokens_ws[None], fb_out[None], kv_pages_out
 
             fn = _shard_map(
                 local,
                 mesh=mesh,
-                in_specs=(pspecs, kvspec, meta_specs, P()),
-                out_specs=(P(DP_AXIS, None, None), kvspec),
+                in_specs=(pspecs, kvspec, meta_specs, P(DP_AXIS, None), P()),
+                out_specs=(P(DP_AXIS, None, None), P(DP_AXIS, None), kvspec),
                 check_vma=False,
             )
-            return fn(params, kv_pages, meta, key)
+            return fn(params, kv_pages, meta, fb, key)
 
         return burst
 
@@ -518,15 +570,16 @@ class ModelRunner:
             packed = self._put_batch(self._stack_packed(batches))
             key = jax.random.fold_in(self._base_key, 0)
             tokens, self.kv_pages = self._step(
-                self.params, self.kv_pages, packed, key, segments
+                self.params, self.kv_pages, packed, self._fb, key, segments
             )
             jax.block_until_ready(tokens)
         w = self.config.decode_burst
         if w >= 2:
             w = 1 << (w.bit_length() - 1)
             for s in s_pads:
-                tp = np.zeros((self.dp, 2, s), np.int32)
+                tp = np.zeros((self.dp, 3, s), np.int32)
                 tp[:, 1] = -1  # pad lanes inert
+                tp[:, 2] = -1  # no feedback
                 tp[:, 0, 0] = 1
                 tp[:, 1, 0] = 0  # lane 0 live: decode at position 0, page 0
                 meta = self._put_batch(BurstMeta(
@@ -535,8 +588,8 @@ class ModelRunner:
                     temps=np.zeros((self.dp, s), np.float32),
                 ))
                 key = jax.random.fold_in(self._base_key, 0)
-                tokens, self.kv_pages = self._burst(
-                    self.params, self.kv_pages, meta, key, w
+                tokens, _fb_out, self.kv_pages = self._burst(
+                    self.params, self.kv_pages, meta, self._fb, key, w
                 )
                 jax.block_until_ready(tokens)
         # One real D2H transfer: the tunnel's FIRST device->host fetch in a
@@ -553,8 +606,12 @@ class ModelRunner:
 
     # -- per-step execution ---------------------------------------------------
 
-    def run(self, seqs: list[Sequence], kind: str = "step") -> tuple[list[int], list[int]]:
-        """Execute one step; returns (sampled token ids, sampled seq indices)."""
+    def run_async(self, seqs: list[Sequence], kind: str = "step") -> StepHandle:
+        """Dispatch one step WITHOUT fetching its results.
+
+        Rows whose input token is a device-pending placeholder read it from
+        the previous program's output via the feedback operand — no host
+        round-trip sits between consecutive dispatched programs."""
         t0 = time.perf_counter()
         bs = self.config.kvcache_block_size
         groups = self._group_indices(seqs)
@@ -566,7 +623,7 @@ class ModelRunner:
         batches, sampled, lane_of = [], [], {}
         for g, grp in enumerate(groups):
             b, samp_local, segments = prepare_step_batch(
-                [seqs[i] for i in grp], bs, layout
+                [seqs[i] for i in grp], bs, layout, fb_lane=self._fb_lane
             )
             batches.append(b)
             sampled.extend(grp[j] for j in samp_local)
@@ -575,38 +632,42 @@ class ModelRunner:
         packed = self._put_batch(self._stack_packed(batches))
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1
-        t1 = time.perf_counter()
         tokens_dev, self.kv_pages = self._step(
-            self.params, self.kv_pages, packed, key, segments
+            self.params, self.kv_pages, packed, self._fb, key, segments
         )
-        t2 = time.perf_counter()
-        tokens = np.asarray(jax.device_get(tokens_dev))  # [dp, S]
+        self._fb = tokens_dev
+        self._fb_lane = {
+            seqs[i].seq_id: lane_of[i][1] for i in range(len(seqs))
+        }
         if self.stats is not None:
-            n_tok = sum(s.num_new_tokens for s in seqs)
-            self.stats.add(kind, "prep", t1 - t0)
-            self.stats.add(kind, "dispatch", t2 - t1)
-            self.stats.add(kind, "device", time.perf_counter() - t2, n_tok)
-        out = []
-        for i in sampled:
-            g, lane = lane_of[i]
-            out.append(int(tokens[g, lane]))
-        return out, sampled
+            self.stats.add(kind, "prep", time.perf_counter() - t0)
+        return StepHandle(
+            seqs=seqs, tokens_dev=tokens_dev, sampled=sampled, lane_of=lane_of,
+            kind=kind, w=0, pending=[], t_dispatch=time.perf_counter(),
+        )
 
-    def run_burst(self, seqs: list[Sequence], w: int) -> list[list[int]]:
-        """Execute a W-step decode burst; returns tokens as [w][len(seqs)]."""
+    def run_burst_async(self, seqs: list[Sequence], w: int) -> StepHandle:
+        """Dispatch a W-step decode burst without fetching its results."""
         t0 = time.perf_counter()
         groups = self._group_indices(seqs)
         s_pad = seq_pad(max(len(grp) for grp in groups), self.config.max_num_seqs)
         p_pad = self._p_pad
-        tp = np.zeros((self.dp, 2, s_pad), np.int32)
+        tp = np.zeros((self.dp, 3, s_pad), np.int32)
         tp[:, 1] = -1  # pad lanes: no KV write
+        tp[:, 2] = -1  # no feedback: use tp[0]
         pages = np.zeros((self.dp, s_pad, p_pad), np.int32)
         temps = np.zeros((self.dp, s_pad), np.float32)
         lane_of = {}
         for g, grp in enumerate(groups):
             for lane, i in enumerate(grp):
                 seq = seqs[i]
-                tp[g, 0, lane] = seq.last_token
+                if seq.num_pending:
+                    assert seq.seq_id in self._fb_lane, (
+                        "pending token with no feedback lane"
+                    )
+                    tp[g, 2, lane] = self._fb_lane[seq.seq_id]
+                else:
+                    tp[g, 0, lane] = seq.last_token
                 tp[g, 1, lane] = len(seq) - 1
                 pages[g, lane, : len(seq.block_table)] = seq.block_table
                 temps[g, lane] = seq.temperature
@@ -614,15 +675,47 @@ class ModelRunner:
         meta = self._put_batch(BurstMeta(tp=tp, pages=pages, temps=temps))
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1
-        t1 = time.perf_counter()
-        tokens_dev, self.kv_pages = self._burst(
-            self.params, self.kv_pages, meta, key, w
+        tokens_dev, fb_dev, self.kv_pages = self._burst(
+            self.params, self.kv_pages, meta, self._fb, key, w
         )
-        tokens = np.asarray(jax.device_get(tokens_dev))  # [dp, w, s_pad]
+        self._fb = fb_dev
+        self._fb_lane = {
+            seqs[i].seq_id: lane_of[i][1] for i in range(len(seqs))
+        }
         if self.stats is not None:
-            self.stats.add("burst", "prep", t1 - t0)
-            self.stats.add("burst", "device", time.perf_counter() - t1, w * len(seqs))
+            self.stats.add("burst", "prep", time.perf_counter() - t0)
+        return StepHandle(
+            seqs=seqs, tokens_dev=tokens_dev, sampled=list(range(len(seqs))),
+            lane_of=lane_of, kind="burst", w=w, pending=[],
+            t_dispatch=time.perf_counter(),
+        )
+
+    def resolve(self, handle: StepHandle) -> np.ndarray:
+        """Fetch a dispatched step's tokens: [dp, S_CAP] or [dp, w, s_pad]."""
+        tokens = np.asarray(jax.device_get(handle.tokens_dev))
+        if self.stats is not None:
+            n = len(handle.sampled) * max(handle.w, 1)
+            self.stats.add(
+                handle.kind, "device", time.perf_counter() - handle.t_dispatch, n
+            )
+        return tokens
+
+    def run(self, seqs: list[Sequence], kind: str = "step") -> tuple[list[int], list[int]]:
+        """Execute one step synchronously; returns (token ids, seq indices)."""
+        h = self.run_async(seqs, kind)
+        tokens = self.resolve(h)
+        out = []
+        for i in h.sampled:
+            g, lane = h.lane_of[i]
+            out.append(int(tokens[g, lane]))
+        return out, h.sampled
+
+    def run_burst(self, seqs: list[Sequence], w: int) -> list[list[int]]:
+        """Execute a W-step decode burst; returns tokens as [w][len(seqs)]."""
+        h = self.run_burst_async(seqs, w)
+        tokens = self.resolve(h)  # [dp, w, s_pad]
         return [
-            [int(tokens[lane_of[i][0], step, lane_of[i][1]]) for i in range(len(seqs))]
+            [int(tokens[h.lane_of[i][0], step, h.lane_of[i][1]])
+             for i in range(len(seqs))]
             for step in range(w)
         ]

@@ -294,6 +294,126 @@ class Scheduler:
                 seq.num_new_tokens = 0
                 self.bm(seq).commit_full_blocks(seq)
 
+    # -- async scheduling (no reference equivalent; vLLM-v1's async scheduling
+    # analogue).  postprocess splits in two: the COUNTS phase runs right after
+    # dispatch with token VALUES still on device — it appends placeholder
+    # tokens, applies the length-based finish rules (max_tokens /
+    # max_model_len), and commits chunk progress, which is everything the next
+    # schedule() needs.  The VALUES phase runs after the next step has been
+    # dispatched: it patches placeholders, applies EOS (one step late — the
+    # finished sequence's extra in-flight tokens are discarded, exactly like
+    # decode-burst overshoot), and releases blocks/registers deferred prefix
+    # hashes once a sequence's values are complete. ------------------------
+
+    def postprocess_counts(
+        self,
+        seqs: list[Sequence],
+        sampled_seq_indices: list[int],
+        pending_out: list,
+    ) -> list[Sequence]:
+        """Async counts phase for a single step.  Appends a placeholder per
+        sampled sequence (recorded as (seq_index, token_index) in
+        ``pending_out``) and returns sequences finished by length rules."""
+        finished = []
+        for seq_index in sampled_seq_indices:
+            seq = seqs[seq_index]
+            if seq.is_finished:
+                continue
+            seq.append_token(0)
+            seq.num_pending += 1
+            pending_out.append((seq_index, len(seq) - 1))
+            if seq.num_completion_tokens == seq.max_tokens or \
+                    len(seq) >= self.max_model_len:
+                seq.status = SequenceStatus.FINISHED
+                self.running.remove(seq)
+                finished.append(seq)
+        for seq in seqs:
+            if not seq.is_finished or seq.num_pending:
+                seq.num_cached_tokens += seq.num_new_tokens
+                seq.num_new_tokens = 0
+        return finished
+
+    def postprocess_burst_counts(
+        self, seqs: list[Sequence], w: int, pending_out: list
+    ) -> list[Sequence]:
+        """Async counts phase for a W-step burst: every sequence samples once
+        per in-burst step, truncated by the length rules."""
+        finished = []
+        for i, seq in enumerate(seqs):
+            if seq.is_finished:
+                continue
+            for _ in range(w):
+                seq.append_token(0)
+                seq.num_pending += 1
+                pending_out.append((i, len(seq) - 1))
+                if seq.num_completion_tokens == seq.max_tokens or \
+                        len(seq) >= self.max_model_len:
+                    seq.status = SequenceStatus.FINISHED
+                    self.running.remove(seq)
+                    finished.append(seq)
+                    break
+            seq.num_cached_tokens = len(seq) - 1
+            seq.num_new_tokens = 0
+            # blocks that filled inside the burst get their prefix hashes
+            # once the values arrive (postprocess_values)
+            seq.hash_deferred = True
+        return finished
+
+    def postprocess_values(self, resolved: list) -> list[Sequence]:
+        """Async values phase: ``resolved`` is [(seq, token_index, value)] in
+        per-sequence append order.  Patches placeholders, EOS-finishes, and
+        releases/commits fully-patched sequences.  Returns sequences finished
+        here (by EOS)."""
+        finished = []
+        touched = {}
+        for seq, idx, val in resolved:
+            touched[id(seq)] = seq
+            if idx >= len(seq.token_ids):
+                continue  # overshoot discarded by an earlier EOS truncation
+            seq.token_ids[idx] = val
+            if seq.num_pending:
+                seq.num_pending -= 1
+            if seq.is_finished:
+                continue
+            if not seq.ignore_eos and val == self.eos:
+                # discard in-flight overshoot past the EOS (burst overshoot
+                # semantics: its KV was written but is never referenced)
+                del seq.token_ids[idx + 1:]
+                seq.num_pending = 0
+                seq.status = SequenceStatus.FINISHED
+                finished.append(seq)
+                if seq in self.running:
+                    self.running.remove(seq)
+                elif seq in self.waiting:
+                    self.waiting.remove(seq)
+                if seq.block_table:
+                    seq.num_cached_tokens = min(
+                        seq.num_cached_tokens, len(seq) - 1
+                    )
+                    self.bm(seq).commit_full_blocks(seq)
+                    self.bm(seq).deallocate(seq)
+                seq.hash_deferred = False
+        for seq in touched.values():
+            if seq.is_finished:
+                if seq.num_pending == 0 and seq.block_table:
+                    # finished by a length rule at counts time: release now
+                    # that every token value is known
+                    seq.num_cached_tokens = min(
+                        seq.num_cached_tokens, len(seq) - 1
+                    )
+                    self.bm(seq).commit_full_blocks(seq)
+                    self.bm(seq).deallocate(seq)
+                    seq.hash_deferred = False
+            elif seq.hash_deferred and seq.block_table:
+                # deferred full-block hashes: commit only blocks whose tokens
+                # are ALL patched — a newer counts phase may have appended
+                # placeholders inside the cached range (burst lookahead)
+                known = len(seq) - seq.num_pending
+                self.bm(seq).commit_full_blocks(seq, known)
+                if seq.num_cached_blocks * self.block_managers[0].block_size <= known:
+                    seq.hash_deferred = False
+        return finished
+
     def postprocess(
         self,
         seqs: list[Sequence],

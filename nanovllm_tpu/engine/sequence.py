@@ -53,6 +53,14 @@ class Sequence:
         # data-parallel group owning this sequence's KV partition (assigned
         # at admission by the scheduler; no reference equivalent — TP-only)
         self.dp_group: int = 0
+        # async scheduling: count of appended tokens whose VALUE is still on
+        # device (placeholders at the tail of token_ids, patched when the
+        # in-flight step's results arrive).  Always the trailing num_pending
+        # entries of token_ids.
+        self.num_pending: int = 0
+        # a full block's prefix hash was skipped because it contained a
+        # placeholder; committed via commit_full_blocks after patching
+        self.hash_deferred: bool = False
 
     # -- basic views ---------------------------------------------------------
 

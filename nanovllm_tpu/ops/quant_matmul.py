@@ -87,6 +87,11 @@ def quant_matmul_pallas(
     *,
     int4: bool = False,
     layer=None,           # scalar int32 plane index into stacked weights
+    # NOTE: the grid is row-major with the T axis outermost, so every T tile
+    # past the first re-streams the weights from HBM.  That is fine: at large
+    # T the matmul is MXU-bound and the refetch hides (measured 1.14x the MXU
+    # floor at T=2048), and a full-T tile does not fit the 16 MB scoped-VMEM
+    # budget (bt=2048 OOMs at compile).
     block_t: int = 256,
     # (1024, 1024) measured 27% faster than (512, 512) at decode shapes on
     # v5e (tools/bench_qmm.py, RTT-cancelled): fewer grid steps, same VPU

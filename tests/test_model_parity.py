@@ -52,6 +52,7 @@ def make_batch(token_ids, start_pos, kv_len, num_pages, t_pad=None, temperature=
         positions=jnp.asarray(pos),
         slot_mapping=jnp.asarray(slots),
         token_seq=jnp.zeros(t_pad, jnp.int32),
+        fb_idx=jnp.full((t_pad,), -1, jnp.int32),
         kv_lens=jnp.asarray([kv_len], np.int32),
         page_indices=jnp.arange(num_pages, dtype=jnp.int32)[None, :],
         logits_indices=jnp.asarray([n - 1], np.int32),
