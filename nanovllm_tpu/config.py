@@ -54,6 +54,11 @@ class Config:
     # KV cache dtype: "auto" (= activation dtype) | "int8" (KV8: dynamic
     # per-token-head scales, dequant fused into the attention kernel).
     kv_cache_dtype: str = "auto"
+    # LM-head dtype for the fused sampling kernel: "auto" follows
+    # ``quantization`` (per-row int8 copy of the head when weights are
+    # quantized — half the head-stream bytes per sampling pass);
+    # "bfloat16" keeps the full-precision head regardless.
+    lm_head_dtype: str = "auto"
     # Async scheduling (vLLM-v1 analogue): schedule and dispatch step N+1
     # before step N's sampled tokens reach the host — decode inputs feed
     # device-side from the previous program's output, and EOS is applied one

@@ -100,6 +100,11 @@ class ModelRunner:
         self.mesh = make_mesh(config.tensor_parallel_size, devices, self.dp)
         self.attn_impl = self._pick_attn_impl()
 
+        lm_head_int8 = (
+            config.quantization != "none"
+            and config.lm_head_dtype in ("auto", "int8")
+            and self.attn_impl == "pallas"  # consumed by the fused sampler only
+        )
         if config.random_weights:
             from nanovllm_tpu.utils.loader import init_random_params
 
@@ -108,7 +113,8 @@ class ModelRunner:
                 from nanovllm_tpu.utils.loader import quantize_params
 
                 params_np = quantize_params(
-                    params_np, config.quantization, config.tensor_parallel_size
+                    params_np, config.quantization,
+                    config.tensor_parallel_size, lm_head_int8=lm_head_int8,
                 )
         else:
             # lazy host-sliced load: each host reads only its own shards of
@@ -117,7 +123,8 @@ class ModelRunner:
             from nanovllm_tpu.utils.lazy_loader import load_qwen3_params_lazy
 
             params_np = load_qwen3_params_lazy(
-                config.model, self.spec, config.quantization
+                config.model, self.spec, config.quantization,
+                lm_head_int8=lm_head_int8,
             )
         self._pspecs = pspecs_for(params_np)
         self.params = shard_params(params_np, self.mesh)

@@ -331,14 +331,21 @@ def forward_and_sample(params, kv_pages, batch, key, spec: ModelSpec, axis_name,
         # materializes [S, V] logits or noise (ops/fused_sample.py)
         from nanovllm_tpu.ops.fused_sample import fused_lm_sample
 
-        lm = params["embed"] if spec.tie_embeddings else params["lm_head"]
+        lmq = params.get("lm_head_q")
+        if lmq is not None:
+            # per-row int8 head copy: half the stream bytes (the dominant
+            # fixed cost of a decode sampling pass); exact per-channel dequant
+            lm, lm_scale = lmq["w"], lmq["s"]
+        else:
+            lm = params["embed"] if spec.tie_embeddings else params["lm_head"]
+            lm_scale = None
         seeds = lax.bitcast_convert_type(
             jax.random.key_data(key).reshape(-1), jnp.int32
         )
         seeds = jnp.resize(seeds, (4,))
         local_tok, local_max = fused_lm_sample(
             sel, lm, batch.temperatures, seeds, shard * spec.vocab_l,
-            vocab_size=spec.vocab_size,
+            vocab_size=spec.vocab_size, lm_scale=lm_scale,
         )
         tokens = resolve_shards(local_max, local_tok, axis_name)
         return tokens, new_kv_pages

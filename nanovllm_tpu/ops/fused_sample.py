@@ -48,13 +48,21 @@ def _uniform_from_bits(bits):
 
 
 def _sample_kernel(meta_ref, sel_ref, lm_ref, t_ref, *rest,
-                   n_v, bv, vocab_size, noise_mode):
+                   n_v, bv, vocab_size, noise_mode, lm_int8):
     """meta_ref (SMEM i32): [seed0..seed3, vocab_start].
 
     ``noise_mode``: "prng" draws Gumbel noise from the core PRNG (TPU only),
     "operand" reads a caller-supplied noise tile (CPU/interpret testing),
     "none" is a pure argmax (greedy).
+
+    ``lm_int8``: the head tile is per-row int8; its f32 scale tile follows in
+    ``rest`` and multiplies the logits after the dot (exact per-channel
+    dequant — int8 rows cast losslessly into the bf16 MXU operand).
     """
+    if lm_int8:
+        s_ref, *rest = rest
+    else:
+        s_ref = None
     if noise_mode == "operand":
         noise_ref, tok_ref, max_ref, best_ref, arg_ref = rest
     else:
@@ -66,11 +74,17 @@ def _sample_kernel(meta_ref, sel_ref, lm_ref, t_ref, *rest,
         best_ref[...] = jnp.full_like(best_ref, -jnp.inf)
         arg_ref[...] = jnp.zeros_like(arg_ref)
 
+    sel = sel_ref[...]
+    lm = lm_ref[...]
+    if lm_int8:
+        lm = lm.astype(sel.dtype)
     logits = lax.dot_general(
-        sel_ref[...], lm_ref[...],
+        sel, lm,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                       # [S, BV]
+    if lm_int8:
+        logits = logits * s_ref[...]                        # [1, BV] broadcast
     vstart = meta_ref[4]
     gidx = vstart + j * bv + lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     if noise_mode == "none":
@@ -116,6 +130,7 @@ def fused_lm_sample(
     vocab_start,               # scalar int32: global index of this shard's slice
     *,
     vocab_size: int,
+    lm_scale: jnp.ndarray | None = None,  # [1, V_l] f32: lm is per-row int8
     stochastic: bool = True,
     noise: jnp.ndarray | None = None,  # [S, V_l] injected Gumbel (tests)
     block_v: int = 1024,
@@ -141,7 +156,7 @@ def fused_lm_sample(
     ])
     kernel = functools.partial(
         _sample_kernel, n_v=n_v, bv=bv, vocab_size=vocab_size,
-        noise_mode=noise_mode,
+        noise_mode=noise_mode, lm_int8=lm_scale is not None,
     )
     in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -150,6 +165,9 @@ def fused_lm_sample(
             pl.BlockSpec((s, 1), lambda j: (0, 0)),
     ]
     operands = [meta, sel, lm, temps.astype(jnp.float32).reshape(s, 1)]
+    if lm_scale is not None:
+        in_specs.append(pl.BlockSpec((1, bv), lambda j: (0, j)))
+        operands.append(lm_scale)
     if noise_mode == "operand":
         in_specs.append(pl.BlockSpec((s, bv), lambda j: (0, j)))
         operands.append(noise.astype(jnp.float32))

@@ -101,6 +101,11 @@ def pspecs_for(params) -> dict:
     specs = param_pspecs(params["layers"])
     if "lm_head" not in params:
         specs.pop("lm_head")
+    if "lm_head_q" in params:
+        specs["lm_head_q"] = {
+            "w": P(TP_AXIS, None),     # vocab-sharded rows like the bf16 head
+            "s": P(None, TP_AXIS),     # [1, V_pad] per-row scales
+        }
     return specs
 
 

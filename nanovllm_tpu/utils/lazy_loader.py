@@ -208,7 +208,8 @@ def _quant_pair(base: LazyLeaf, mode: str):
 
 
 def load_qwen3_params_lazy(path: str, spec: ModelSpec,
-                           quantization: str = "none") -> dict:
+                           quantization: str = "none",
+                           lm_head_int8: bool = False) -> dict:
     """Lazy counterpart of loader.load_qwen3_params (+ quantize_params).
 
     Big leaves ([L, K, N] stacks, vocab tables) are LazyLeaf; small per-layer
@@ -268,4 +269,31 @@ def load_qwen3_params_lazy(path: str, spec: ModelSpec,
     }
     if not spec.tie_embeddings:
         params["lm_head"] = _vocab_rows(ckpt, "lm_head.weight", spec)
+    if lm_head_int8:
+        head = _vocab_rows(
+            ckpt,
+            "model.embed_tokens.weight" if spec.tie_embeddings
+            else "lm_head.weight",
+            spec,
+        )
+        from nanovllm_tpu.utils.loader import quantize_lm_head
+
+        v_pad, h = head.shape
+
+        def fetch_w(r):
+            # per-ROW quantization: a row-range slice quantizes independently,
+            # but each row needs its FULL H extent — guaranteed because the
+            # head's pspec shards rows only (P("tp", None))
+            (r0, r1), (c0, c1) = r
+            assert c0 == 0 and c1 == h, "int8 head rows need full H"
+            return quantize_lm_head(head[r0:r1, 0:h])["w"]
+
+        def fetch_s(r):
+            (z0, z1), (r0, r1) = r
+            return quantize_lm_head(head[r0:r1, 0:h])["s"][z0:z1]
+
+        params["lm_head_q"] = {
+            "w": LazyLeaf((v_pad, h), np.int8, fetch_w),
+            "s": LazyLeaf((1, v_pad), np.float32, fetch_s),
+        }
     return params

@@ -113,9 +113,24 @@ def assemble_params(raw: dict, spec: ModelSpec) -> dict:
 QUANTIZED_LAYER_WEIGHTS = ("qkv", "o", "gate_up", "down")
 
 
-def quantize_params(params: dict, mode: str, tp: int) -> dict:
-    """Quantization of the decoder linears (embed/lm_head/norms stay high
-    precision).  ``mode``:
+def quantize_lm_head(head: "np.ndarray") -> dict:
+    """Per-row (per-vocab-entry) symmetric int8 of the [V_pad, H] LM head.
+
+    Returns {"w": int8 [V_pad, H], "s": f32 [1, V_pad]} consumed by the fused
+    sampling kernel (ops/fused_sample.py) — halves the head's HBM stream,
+    which is the dominant fixed cost of a decode sampling pass.
+    """
+    head = np.asarray(head, dtype=np.float32)
+    amax = np.abs(head).max(axis=1, keepdims=True)
+    s = np.maximum(amax, 1e-8) / 127.0
+    q = np.rint(head / s).clip(-127, 127).astype(np.int8)
+    return {"w": q, "s": s.astype(np.float32).reshape(1, -1)}
+
+
+def quantize_params(params: dict, mode: str, tp: int,
+                    lm_head_int8: bool = False) -> dict:
+    """Quantization of the decoder linears (embed/norms stay high precision;
+    the LM-head gets a per-row int8 copy when ``lm_head_int8``).  ``mode``:
       "int8" / "int4" — weight-only, group=128 along the contraction axis;
       "w8a8"          — int8 weights per-channel + dynamic int8 activations
                         (int8 MXU; see ops/quant_matmul.py).
@@ -145,6 +160,10 @@ def quantize_params(params: dict, mode: str, tp: int) -> dict:
         layers[name] = {"w": wq, "s": scales}
     out = dict(params)
     out["layers"] = layers
+    if lm_head_int8:
+        out["lm_head_q"] = quantize_lm_head(
+            params.get("lm_head", params["embed"])
+        )
     return out
 
 

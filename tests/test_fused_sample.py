@@ -97,6 +97,33 @@ def test_tie_breaks_to_lowest_index():
     assert np.all(np.asarray(tok) < 128)
 
 
+def test_int8_head_matches_dequant_oracle():
+    """Per-row int8 LM head: fused greedy picks must equal an argmax over
+    oracle-dequantized logits (the kernel's dequant is exact per channel)."""
+    from nanovllm_tpu.utils.loader import quantize_lm_head
+
+    rng = np.random.default_rng(5)
+    s, h, v = 8, 64, 512
+    lm = rng.standard_normal((v, h)).astype(np.float32)
+    sel = rng.standard_normal((s, h)).astype(np.float32)
+    q = quantize_lm_head(lm)
+    tok, best = fused_lm_sample(
+        jnp.asarray(sel), jnp.asarray(q["w"]),
+        jnp.zeros(s, jnp.float32), jnp.zeros(4, jnp.int32), 0,
+        vocab_size=v, lm_scale=jnp.asarray(q["s"]),
+        stochastic=False, block_v=128, interpret=True,
+    )
+    logits = (sel @ (q["w"].astype(np.float32) * q["s"].T).T)
+    np.testing.assert_array_equal(np.asarray(tok), logits.argmax(axis=1))
+    np.testing.assert_allclose(
+        np.asarray(best), logits.max(axis=1), rtol=1e-5
+    )
+    # quantization error vs the fp head is small (sanity on the scheme)
+    ref = sel @ lm.T
+    err = np.abs(logits - ref).max() / np.abs(ref).max()
+    assert err < 0.02, err
+
+
 def test_uniform_from_bits_range():
     from nanovllm_tpu.ops.fused_sample import _uniform_from_bits
 
