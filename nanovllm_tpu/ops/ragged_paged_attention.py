@@ -53,6 +53,20 @@ DECODE_XLANE = _os.environ.get("NVT_DECODE_XLANE", "1") == "1"
 # prefetch starves.  VMEM cost: ring * npp * page * 2kvh * hd bytes.
 DECODE_RING = max(2, int(_os.environ.get("NVT_DECODE_RING", "4")))
 
+# Route prefill tiles (q_tile > 1) through the same manual-DMA kernel instead
+# of the BlockSpec-grid kernel: grid steps cover only real page groups (the
+# grid path walks the FULL padded page-table width per tile) and the online
+# softmax is carried as loop values instead of [kvh, QG, 128] VMEM scratch
+# round-trips per (tile, page).
+PREFILL_MANUAL = _os.environ.get("NVT_PREFILL_MANUAL", "1") == "1"
+
+# Prefill variant sizing: the per-head loop is statically unrolled and Mosaic
+# keeps every head's [qg, npp*page] score/probability temporaries live, so
+# the group width must stay inside the 16 MB scoped-VMEM budget; long prefill
+# page walks double-buffer fine in-lane, so a 2-deep ring suffices.
+PREFILL_NPP = int(_os.environ.get("NVT_PREFILL_NPP", "4"))
+PREFILL_RING = max(2, int(_os.environ.get("NVT_PREFILL_RING", "2")))
+
 
 def _attn_kernel(
     # scalar prefetch
@@ -168,6 +182,8 @@ def _decode_kernel(
     xlane: bool,
     nt: int,
     ring: int = 2,
+    q_tile: int = 1,
+    group: int = 1,
 ):
     """Decode-mode kernel: grid (num_tiles,), one token's q heads per tile.
 
@@ -211,17 +227,20 @@ def _decode_kernel(
     t = pl.program_id(0)
     seq = tile_seq_ref[t]
     kv_len = kv_lens_ref[seq]
-    # one token per tile: its causal limit bounds the page walk.  Inert rows
-    # (padding lanes, non-decoding lanes in the all-lanes decode segment)
-    # carry position < 0 => limit 0 => zero loop iterations, zero fetches.
-    limit = jnp.clip(tile_kvpos_ref[t] + 1, 0, kv_len)
+    # the tile's LAST row bounds the page walk (q_tile == 1: one token per
+    # tile).  Inert tiles (padding lanes, non-decoding lanes in the all-lanes
+    # decode segment, prefill pad tiles) carry position < 0 => limit <= 0 =>
+    # zero loop iterations, zero fetches.
+    limit = jnp.clip(tile_kvpos_ref[t] + q_tile, 0, kv_len)
     num_blocks = pl.cdiv(limit, page_size)
     num_groups = pl.cdiv(num_blocks, npp)
     layer = layer_ref[0]
     gp = npp * page_size  # kv columns per group
 
     def nblocks_of(tt):
-        lim = jnp.clip(tile_kvpos_ref[tt] + 1, 0, kv_lens_ref[tile_seq_ref[tt]])
+        lim = jnp.clip(
+            tile_kvpos_ref[tt] + q_tile, 0, kv_lens_ref[tile_seq_ref[tt]]
+        )
         return pl.cdiv(lim, page_size)
 
     def copies(slot, g, j, tt, nb):
@@ -325,15 +344,26 @@ def _decode_kernel(
     # per-head [QG, hd] dots leave the MXU idle and pay ~8 VPU-bound softmax
     # passes per page group; stacking makes both one wide pass (measured: the
     # per-head kernel was 89% of a decode step at 5x speed-of-light).
-    q_bd = jnp.concatenate(
-        [
-            jnp.pad(q[h], ((0, 0), (2 * h * hd, (2 * (kvh - h) - 1) * hd)))
-            for h in range(kvh)
-        ],
-        axis=0,
-    )                                                   # [r, d]
-    # fold the softmax scale into q once per tile instead of per group
-    q_bd = (q_bd.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    perhead = q_tile > 1
+    if not perhead:
+        q_bd = jnp.concatenate(
+            [
+                jnp.pad(q[h], ((0, 0), (2 * h * hd, (2 * (kvh - h) - 1) * hd)))
+                for h in range(kvh)
+            ],
+            axis=0,
+        )                                               # [r, d]
+        # fold the softmax scale into q once per tile instead of per group
+        q_bd = (q_bd.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    else:
+        # prefill tiles: qg = q_tile * group rows fill the MXU on their own,
+        # so per-head [qg, hd] x [hd, W] dots are the right shape (the
+        # block-diagonal trick would inflate FLOPs 2*kvh-fold); softmax state
+        # is carried as loop VALUES (the BlockSpec-grid kernel carried it in
+        # VMEM scratch, re-reading/writing [kvh, qg, 128] per (tile, page)).
+        qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+        row_tok = lax.broadcasted_iota(jnp.int32, (qg, 1), 0) // group
+        row_lim = jnp.minimum(tile_kvpos_ref[t] + row_tok + 1, kv_len)
 
     def stack_scales(sc, first):
         # [2kvh, W] -> [r, W] rows grouped per head (K: 2h, V: 2h+1)
@@ -413,14 +443,62 @@ def _decode_kernel(
 
         wait(slot, g)
         sc = scale_buf[slot] if kv_int8 else None
-        return sub_step(kv_buf[slot].reshape(gp, d), sc, g * gp, m, l, acc)
+        if not perhead:
+            return sub_step(kv_buf[slot].reshape(gp, d), sc, g * gp, m, l, acc)
+        return sub_step_perhead(kv_buf[slot], sc, g * gp, m, l, acc)
 
-    m0 = jnp.full((r,), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((r,), jnp.float32)
-    acc0 = jnp.zeros((r, hd), jnp.float32)
-    m, l, acc = lax.fori_loop(0, num_groups, body, (m0, l0, acc0))
-    denom = jnp.where(l == 0.0, 1.0, l)
-    out_ref[0] = (acc / denom[:, None]).reshape(kvh, qg, hd).astype(out_ref.dtype)
+    def sub_step_perhead(kv_raw, sc, col0, m, l, acc):
+        """Per-head online-softmax update over one page group.
+
+        kv_raw [npp, page, 2kvh, hd]; m/l [kvh, qg]; acc [kvh, qg, hd].
+        """
+        kv3 = kv_raw.reshape(gp, 2 * kvh, hd)
+        col = lax.broadcasted_iota(jnp.int32, (1, gp), 1) + col0
+        mask = col < row_lim                            # [qg, gp]
+        ms, ls, accs = [], [], []
+        for h in range(kvh):
+            k_h = kv3[:, 2 * h, :].astype(q.dtype)      # [gp, hd]
+            v_h = kv3[:, 2 * h + 1, :].astype(q.dtype)
+            scores = lax.dot_general(
+                qs[h], k_h,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                           # [qg, gp]
+            if kv_int8:
+                scores = scores * sc[2 * h][None, :]
+            scores = jnp.where(mask, scores, MASK_VALUE)
+            m_new = jnp.maximum(m[h], jnp.max(scores, axis=-1))
+            alpha = jnp.where(m[h] == -jnp.inf, 0.0, jnp.exp(m[h] - m_new))
+            p = jnp.where(mask, jnp.exp(scores - m_new[:, None]), 0.0)
+            l_new = l[h] * alpha + jnp.sum(p, axis=-1)
+            if kv_int8:
+                # re-mask after the V-scale multiply (stale scales of skipped
+                # tail pages: 0 * NaN = NaN)
+                p = jnp.where(mask, p * sc[2 * h + 1][None, :], 0.0)
+            pv = lax.dot_general(
+                p.astype(q.dtype), v_h,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                           # [qg, hd]
+            ms.append(m_new)
+            ls.append(l_new)
+            accs.append(acc[h] * alpha[:, None] + pv)
+        return jnp.stack(ms), jnp.stack(ls), jnp.stack(accs)
+
+    if perhead:
+        m0 = jnp.full((kvh, qg), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((kvh, qg), jnp.float32)
+        acc0 = jnp.zeros((kvh, qg, hd), jnp.float32)
+        m, l, acc = lax.fori_loop(0, num_groups, body, (m0, l0, acc0))
+        denom = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0] = (acc / denom[:, :, None]).astype(out_ref.dtype)
+    else:
+        m0 = jnp.full((r,), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((r,), jnp.float32)
+        acc0 = jnp.zeros((r, hd), jnp.float32)
+        m, l, acc = lax.fori_loop(0, num_groups, body, (m0, l0, acc0))
+        denom = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0] = (acc / denom[:, None]).reshape(kvh, qg, hd).astype(out_ref.dtype)
 
 
 def ragged_paged_attention_pallas(
@@ -459,10 +537,12 @@ def ragged_paged_attention_pallas(
 
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
 
-    if q_tile == 1:
-        # decode path: manual-DMA kernel, grid over tiles only; npp pages per
-        # loop iteration (iteration overhead, not bandwidth, bounds the loop)
-        npp = DECODE_PAGES_PER_ITER
+    if q_tile == 1 or PREFILL_MANUAL:
+        # manual-DMA kernel, grid over tiles only; npp pages per loop
+        # iteration (iteration overhead, not bandwidth, bounds the loop).
+        # q_tile == 1 -> decode (block-diagonal compute); q_tile > 1 ->
+        # prefill tiles (per-head compute); same DMA ring either way.
+        npp = DECODE_PAGES_PER_ITER if q_tile == 1 else PREFILL_NPP
         xlane = DECODE_XLANE
         scalars = [layer_arr, tile_seq, tile_kvpos, kv_lens, page_indices]
         if xlane:
@@ -474,7 +554,7 @@ def ragged_paged_attention_pallas(
                 [lax.cummin(idx[::-1])[::-1], jnp.full((1,), nt, jnp.int32)]
             )
             scalars.append(nxt)
-        ring = DECODE_RING if xlane else 2
+        ring = (DECODE_RING if q_tile == 1 else PREFILL_RING) if xlane else 2
         in_specs = [
             pl.BlockSpec((1, kvh, qg, hd), lambda ti, *_: (ti, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -510,6 +590,8 @@ def ragged_paged_attention_pallas(
             xlane=xlane,
             ring=ring,
             nt=nt,
+            q_tile=q_tile,
+            group=group,
         )
         out = pl.pallas_call(
             kernel,
