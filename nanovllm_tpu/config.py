@@ -52,7 +52,10 @@ class Config:
     # Dequantization is fused into the Pallas matmul kernel on TPU.
     quantization: str = "none"
     # KV cache dtype: "auto" (= activation dtype) | "int8" (KV8: dynamic
-    # per-token-head scales, dequant fused into the attention kernel).
+    # per-token-head scales, dequant fused into the attention kernel) |
+    # "int4" (KV4: two elements packed per byte along head_dim — half the
+    # decode-attention HBM traffic of KV8 at a further quality cost; no
+    # BASELINE ppl gate covers it, so it is opt-in and NOT the bench default).
     kv_cache_dtype: str = "auto"
     # LM-head dtype for the fused sampling kernel: "auto" follows
     # ``quantization`` (per-row int8 copy of the head when weights are

@@ -178,14 +178,20 @@ class ModelRunner:
             assert self.config.kvcache_block_size % 16 == 0, (
                 "pallas paged attention needs kvcache_block_size % 16 == 0"
             )
-            if self.config.kv_cache_dtype == "int8":
+            if self.config.kv_cache_dtype in ("int8", "int4"):
                 # the scale plane [LP, 2kvh, page] keeps pages on the lane
                 # axis; its per-page DMA slice must be 128-lane aligned
                 assert self.config.kvcache_block_size % 128 == 0, (
-                    "INT8 KV with pallas attention needs "
+                    "quantized KV with pallas attention needs "
                     "kvcache_block_size % 128 == 0"
                 )
         return impl
+
+    @property
+    def _kv_hd(self) -> int:
+        """Stored head_dim: int4 packs two elements per byte."""
+        hd = self.spec.head_dim
+        return hd // 2 if self.config.kv_cache_dtype == "int4" else hd
 
     def _kv_page_shape(self, num_blocks: int):
         """[dp * L * blocks, page, 2kvh, hd] — blocks are PER dp group.
@@ -201,12 +207,13 @@ class ModelRunner:
             self.dp * s.num_layers * num_blocks,
             self.config.kvcache_block_size,
             2 * s.num_kv_heads,
-            s.head_dim,
+            self._kv_hd,
         )
 
     @property
     def _kv_int8(self) -> bool:
-        return self.config.kv_cache_dtype == "int8"
+        """Quantized KV cache with a scale plane (int8 or int4-packed)."""
+        return self.config.kv_cache_dtype in ("int8", "int4")
 
     def _kv_pspec(self):
         if self._kv_int8:
@@ -237,9 +244,11 @@ class ModelRunner:
         """Size the KV cache from per-device free HBM, like the reference's
         allocate_kv_cache (model_runner.py:352-366) but via PJRT memory stats."""
         s = self.spec
-        # int8 KV: 1 byte per element + 4-byte scale per (slot, head)
+        # int8/int4 KV: 1 byte per (packed) element + 4-byte scale per
+        # (slot, head)
         slot_head_bytes = (
-            s.head_dim + 4 if self._kv_int8 else s.head_dim * _dtype_size(s.dtype)
+            self._kv_hd + 4 if self._kv_int8
+            else s.head_dim * _dtype_size(s.dtype)
         )
         block_bytes_per_dev = (
             s.num_layers

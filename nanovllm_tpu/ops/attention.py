@@ -57,6 +57,10 @@ def ragged_paged_attention_ref(
     gpages = layer * pages_per_layer + page_indices
     kv = data[gpages]
     if is_quantized_cache(kv_pages):
+        if data.shape[-1] * 2 == hd:                  # KV4: unpack nibbles
+            from nanovllm_tpu.ops.ragged_paged_attention import _unpack_int4
+
+            kv = _unpack_int4(kv)
         scale = kv_pages["scale"][gpages]             # [S, PPS, 2kvh, page]
         kv = kv.astype(jnp.float32) * scale.transpose(0, 1, 3, 2)[..., None]
     kv = kv.reshape(s, ctx, kvh, 2, hd)

@@ -32,13 +32,32 @@ def is_quantized_cache(kv_pages) -> bool:
 PAGE_SENTINEL = 1 << 30  # padded prefill_pages entry: clamps to a real plane, matches no slot -> no-op rewrite
 
 
-def _quantize_rows(kv: jnp.ndarray):
-    """Dynamic per-(token, head) symmetric int8: (q [T,2kvh,hd], scale [T,2kvh])."""
+def _quantize_rows(kv: jnp.ndarray, bits: int = 8):
+    """Dynamic per-(token, head) symmetric int8/int4 quantization.
+
+    Returns (q, scale [T, 2kvh]): int8 -> q [T, 2kvh, hd] int8; int4 -> two
+    values packed per byte along head_dim, q [T, 2kvh, hd//2] int8.  Packing
+    is HALF-SPLIT (low nibble = element j, high = element j + hd/2): the
+    unpack is then a lane-axis concat, which Mosaic lowers — an adjacent-pair
+    interleave is an "unsupported shape cast" on TPU."""
     kvf = kv.astype(jnp.float32)
-    scale = jnp.max(jnp.abs(kvf), axis=-1) / 127.0
+    qmax = 127.0 if bits == 8 else 7.0
+    scale = jnp.max(jnp.abs(kvf), axis=-1) / qmax
     safe = jnp.maximum(scale, 1e-10)
-    q = jnp.clip(jnp.round(kvf / safe[..., None]), -127, 127).astype(jnp.int8)
-    return q, scale
+    q = jnp.clip(jnp.round(kvf / safe[..., None]), -qmax, qmax)
+    if bits == 8:
+        return q.astype(jnp.int8), scale
+    qi = q.astype(jnp.int32)
+    h2 = kv.shape[-1] // 2
+    packed = (qi[..., :h2] & 0xF) | ((qi[..., h2:] & 0xF) << 4)
+    packed = lax.bitcast_convert_type(packed.astype(jnp.uint8), jnp.int8)
+    return packed, scale
+
+
+def cache_kv_bits(kv_pages, head_dim: int) -> int:
+    """8 or 4, inferred from the packed head_dim of a quantized cache."""
+    data = kv_pages["data"] if is_quantized_cache(kv_pages) else kv_pages
+    return 4 if data.shape[-1] * 2 == head_dim else 8
 
 
 def _write_rows_scatter(kv_pages, layer, pages_per_layer, kv, slot):
@@ -55,7 +74,7 @@ def _write_rows_scatter(kv_pages, layer, pages_per_layer, kv, slot):
     if not is_quantized_cache(kv_pages):
         return data.at[page_idx, offset].set(kv.astype(data.dtype), mode="drop")
 
-    q, scale = _quantize_rows(kv)
+    q, scale = _quantize_rows(kv, bits=cache_kv_bits(kv_pages, kv.shape[-1]))
     # scale layout [LP, 2kvh, page]: page on the lane axis — a [.., page, 2kvh]
     # layout lane-pads 2kvh (16) up to 128, an 8x HBM blowup
     return {
@@ -114,9 +133,18 @@ def _write_rows_dma(kv_pages, layer, pages_per_layer, kv, slot,
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
 
     if quant:
-        rows, scale = _quantize_rows(kv)
+        rows, scale = _quantize_rows(kv, bits=cache_kv_bits(kv_pages, kv.shape[-1]))
     else:
         rows, scale = kv.astype(data.dtype), None
+
+    orig_shape = data.shape
+    if data.shape[-1] < 128 and (data.shape[-2] * data.shape[-1]) % 128 == 0:
+        # KV4 rows are [2kvh, hd//2] — below the 128-lane DMA tiling.  A
+        # token's row is contiguous, so view it as [*, 128] (free bitcast
+        # reshape) for the copies and view the cache back afterwards.
+        heads = data.shape[-2] * data.shape[-1] // 128
+        data = data.reshape(*data.shape[:2], heads, 128)
+        rows = rows.reshape(t, heads, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -144,6 +172,7 @@ def _write_rows_dma(kv_pages, layer, pages_per_layer, kv, slot,
         ),
         interpret=interpret,
     )(layer_arr, slot, rows, data)
+    new_data = new_data.reshape(orig_shape)
     if not quant:
         return new_data
 
@@ -184,14 +213,18 @@ def _write_rows_planes(kv_pages, layer, pages_per_layer, kv, slot, pages):
     page_size = data.shape[1]
     t = kv.shape[0]
     pp = pages.shape[0]
-    d = kv.shape[1] * kv.shape[2]
+    d = data.shape[2] * data.shape[3]  # packed row width (int4: hd//2)
 
     if quant:
-        rows, scale_rows = _quantize_rows(kv)              # int8, [T, 2kvh]
+        # int8/int4-packed rows; packed bytes are integers in [-128, 127] and
+        # survive the bf16 one-hot matmul below exactly
+        rows, scale_rows = _quantize_rows(
+            kv, bits=cache_kv_bits(kv_pages, kv.shape[-1])
+        )
         scale = kv_pages["scale"]
     else:
         rows, scale_rows, scale = kv, None, None
-    rows = rows.reshape(t, d)
+    rows = rows.reshape(t, -1)
 
     sl = min(page_size, t)
     offs = jnp.arange(page_size, dtype=jnp.int32)

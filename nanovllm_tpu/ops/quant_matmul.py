@@ -52,11 +52,11 @@ def _qmm_kernel(*refs, n_k, int4: bool, stacked: bool):
     x = x_ref[...]
     w_raw = w_ref[0] if stacked else w_ref[...]
     if int4:
-        # unpack two nibbles per byte: low nibble = even k, high = odd k
-        packed = w_raw                            # [BK//2, BN] int8
-        low = jnp.left_shift(packed, 4)           # sign-extend low nibble
-        low = jnp.right_shift(low, 4)
-        high = jnp.right_shift(packed, 4)
+        # unpack two nibbles per byte: low nibble = even k, high = odd k.
+        # Shift in int32 — Mosaic cannot legalize arith.shli on int8 vectors.
+        packed = w_raw.astype(jnp.int32)          # [BK//2, BN]
+        low = jnp.right_shift(jnp.left_shift(packed, 28), 28)  # sign-extend
+        high = jnp.right_shift(jnp.left_shift(packed, 24), 28)
         bk2, bn = packed.shape
         w = jnp.stack([low, high], axis=1).reshape(2 * bk2, bn)
     else:
@@ -105,6 +105,12 @@ def quant_matmul_pallas(
     n = w_q.shape[-1]
     k_w = w_q.shape[-2] * (2 if int4 else 1)
     assert k_w == k and k % GROUP == 0, (k, k_w)
+    if int4:
+        # the nibble unpack runs in int32 (int8 shifts do not legalize in
+        # Mosaic), 4x the tile bytes — halve the tile to stay inside the
+        # 16 MB scoped-VMEM budget
+        block_n = min(block_n, 512)
+        block_k = min(block_k, 512)
     bt = min(block_t, t)
     assert t % bt == 0, "activation rows must be bucketed to a multiple of bt"
     bn = block_n

@@ -34,6 +34,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -1e30
 
+
+def _unpack_int4(x):
+    """int4-packed int8 [..., W] -> int32 [..., 2W], half-split order (low
+    nibbles are elements [0, W), high nibbles [W, 2W) — see
+    kv_cache._quantize_rows).  A lane-axis concat is the only unpack shape
+    Mosaic lowers; shifts run in int32 (no int8 shli legalization).
+    """
+    p32 = x.astype(jnp.int32)
+    low = jnp.right_shift(jnp.left_shift(p32, 28), 28)
+    high = jnp.right_shift(jnp.left_shift(p32, 24), 28)
+    return jnp.concatenate([low, high], axis=-1)
+
 # Decode kernel: KV pages fetched+processed per loop iteration.  Raising this
 # widens the per-head dots and cuts loop-iteration count at the price of VMEM
 # (2 * npp * page bytes) and tail-group fetch waste on short sequences.
@@ -184,6 +196,7 @@ def _decode_kernel(
     ring: int = 2,
     q_tile: int = 1,
     group: int = 1,
+    kv_int4: bool = False,
 ):
     """Decode-mode kernel: grid (num_tiles,), one token's q heads per tile.
 
@@ -377,7 +390,13 @@ def _decode_kernel(
         kv_raw [W, d] (W = window width), sc [2kvh, W] f32 scales (int8 KV
         only), col0 = global kv position of the window's first column.
         """
-        # one cast feeds both dots (int8 KV -> exact in bf16)
+        # one cast feeds both dots (int8/int4 KV -> exact in bf16);
+        # int4 unpacks PER HEAD (the half-split order is within each head's
+        # head_dim) before collapsing to the flat row width
+        if kv_int4:
+            kv_raw = _unpack_int4(
+                kv_raw.reshape(kv_raw.shape[0], 2 * kvh, hd // 2)
+            ).reshape(kv_raw.shape[0], d)
         kv = kv_raw.astype(q.dtype)
         w = kv.shape[0]
         col = lax.broadcasted_iota(jnp.int32, (1, w), 1) + col0
@@ -444,7 +463,10 @@ def _decode_kernel(
         wait(slot, g)
         sc = scale_buf[slot] if kv_int8 else None
         if not perhead:
-            return sub_step(kv_buf[slot].reshape(gp, d), sc, g * gp, m, l, acc)
+            dp_w = d // 2 if kv_int4 else d
+            return sub_step(
+                kv_buf[slot].reshape(gp, dp_w), sc, g * gp, m, l, acc
+            )
         return sub_step_perhead(kv_buf[slot], sc, g * gp, m, l, acc)
 
     def sub_step_perhead(kv_raw, sc, col0, m, l, acc):
@@ -452,7 +474,9 @@ def _decode_kernel(
 
         kv_raw [npp, page, 2kvh, hd]; m/l [kvh, qg]; acc [kvh, qg, hd].
         """
-        kv3 = kv_raw.reshape(gp, 2 * kvh, hd)
+        kv3 = kv_raw.reshape(gp, 2 * kvh, -1)
+        if kv_int4:
+            kv3 = _unpack_int4(kv3)
         col = lax.broadcasted_iota(jnp.int32, (1, gp), 1) + col0
         mask = col < row_lim                            # [qg, gp]
         ms, ls, accs = [], [], []
@@ -523,6 +547,8 @@ def ragged_paged_attention_pallas(
     if kv_int8:
         kv_pages = kv_pages["data"]
     t, nh, hd = q.shape
+    # int4 packs two head_dim elements per byte (KV4)
+    kv_int4 = kv_int8 and kv_pages.shape[-1] * 2 == hd
     _, page_size, kvh2, _ = kv_pages.shape
     kvh = kvh2 // 2
     group = nh // kvh
@@ -555,13 +581,21 @@ def ragged_paged_attention_pallas(
             )
             scalars.append(nxt)
         ring = (DECODE_RING if q_tile == 1 else PREFILL_RING) if xlane else 2
+        # the ring buffer must leave room in the 16 MB scoped-VMEM budget
+        # (bf16 KV pages are 2x int8: ring 4 x npp 8 x 512 KB alone is 16 MB)
+        page_bytes = page_size * kvh2 * hd * kv_pages.dtype.itemsize
+        while ring > 2 and ring * npp * page_bytes > 12 * 1024 * 1024:
+            ring -= 1
         in_specs = [
             pl.BlockSpec((1, kvh, qg, hd), lambda ti, *_: (ti, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ]
         inputs = [qk, kv_pages]
         scratch = [
-            pltpu.VMEM((ring, npp, page_size, kvh2, hd), kv_pages.dtype),
+            pltpu.VMEM(
+                (ring, npp, page_size, kvh2, kv_pages.shape[-1]),
+                kv_pages.dtype,
+            ),
         ]
         if kv_int8:
             in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
@@ -592,6 +626,7 @@ def ragged_paged_attention_pallas(
             nt=nt,
             q_tile=q_tile,
             group=group,
+            kv_int4=kv_int4,
         )
         out = pl.pallas_call(
             kernel,
@@ -605,6 +640,7 @@ def ragged_paged_attention_pallas(
         out = out.reshape(nt, kvh, q_tile, group, hd).transpose(0, 2, 1, 3, 4)
         return out.reshape(t, nh, hd)
 
+    assert not kv_int4, "KV4 requires the manual-DMA kernel (NVT_PREFILL_MANUAL=1)"
     grid = (nt, pps)
 
     def q_map(ti, bi, *_refs):
