@@ -110,7 +110,8 @@ def main():
         file=sys.stderr,
     )
     tag = "bf16" if quant == "none" and kv_dtype == "auto" else (
-        f"w{quant}" + ("_kv8" if kv_dtype == "int8" else "")
+        f"w{quant}"
+        + {"int8": "_kv8", "int4": "_kv4"}.get(kv_dtype, "")
     )
     print(json.dumps({
         "metric": f"offline_throughput_qwen3_0.6b_{tag}",

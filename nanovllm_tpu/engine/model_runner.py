@@ -188,10 +188,11 @@ class ModelRunner:
         return impl
 
     @property
-    def _kv_hd(self) -> int:
-        """Stored head_dim: int4 packs two elements per byte."""
-        hd = self.spec.head_dim
-        return hd // 2 if self.config.kv_cache_dtype == "int4" else hd
+    def _kv_data_heads(self) -> int:
+        """Head rows of the data plane: KV4 packs K and V of a head into one
+        byte, so the data plane has kvh rows against the scale plane's 2kvh."""
+        h2 = 2 * self.spec.kv_heads_l * self.spec.tp_size  # global 2kvh
+        return h2 // 2 if self.config.kv_cache_dtype == "int4" else h2
 
     def _kv_page_shape(self, num_blocks: int):
         """[dp * L * blocks, page, 2kvh, hd] — blocks are PER dp group.
@@ -206,8 +207,8 @@ class ModelRunner:
         return (
             self.dp * s.num_layers * num_blocks,
             self.config.kvcache_block_size,
-            2 * s.num_kv_heads,
-            self._kv_hd,
+            self._kv_data_heads,
+            s.head_dim,
         )
 
     @property
@@ -230,8 +231,13 @@ class ModelRunner:
                 ),
                 "scale": jax.device_put(
                     # [dp*LP, 2kvh, page]: page on lanes (a [.., page, 2kvh]
-                    # layout lane-pads 2kvh up to 128 = 8x HBM blowup)
-                    jnp.zeros((shape[0], shape[2], shape[1]), jnp.float32),
+                    # layout lane-pads 2kvh up to 128 = 8x HBM blowup);
+                    # ALWAYS 2kvh rows — KV4's data plane halves its head
+                    # axis (K/V share a byte) but scales stay per K/V head
+                    jnp.zeros(
+                        (shape[0], 2 * self.spec.num_kv_heads, shape[1]),
+                        jnp.float32,
+                    ),
                     NamedSharding(self.mesh, P(DP_AXIS, TP_AXIS, None)),
                 ),
             }
@@ -244,12 +250,13 @@ class ModelRunner:
         """Size the KV cache from per-device free HBM, like the reference's
         allocate_kv_cache (model_runner.py:352-366) but via PJRT memory stats."""
         s = self.spec
-        # int8/int4 KV: 1 byte per (packed) element + 4-byte scale per
-        # (slot, head)
-        slot_head_bytes = (
-            self._kv_hd + 4 if self._kv_int8
-            else s.head_dim * _dtype_size(s.dtype)
-        )
+        # int8 KV: 1 byte/element + 4-byte scale per (slot, head);
+        # int4 KV: half a byte/element + the same scale
+        if self._kv_int8:
+            per_el = 1 if self.config.kv_cache_dtype == "int8" else 0.5
+            slot_head_bytes = int(s.head_dim * per_el) + 4
+        else:
+            slot_head_bytes = s.head_dim * _dtype_size(s.dtype)
         block_bytes_per_dev = (
             s.num_layers
             * self.config.kvcache_block_size

@@ -48,7 +48,12 @@ def ragged_paged_attention_ref(
 
     t, nh, hd = q.shape
     data = kv_pages["data"] if is_quantized_cache(kv_pages) else kv_pages
-    _, page_size, kvh2, _ = data.shape
+    page_size = data.shape[1]
+    # KV4's data plane carries kvh head rows; the scale plane always has 2kvh
+    kvh2 = (
+        kv_pages["scale"].shape[-2] if is_quantized_cache(kv_pages)
+        else data.shape[2]
+    )
     kvh = kvh2 // 2
     s, pages_per_seq = page_indices.shape
     ctx = pages_per_seq * page_size
@@ -56,16 +61,24 @@ def ragged_paged_attention_ref(
     # dim-0 gather out of the flat cache: [S, PPS, page, 2kvh, hd]
     gpages = layer * pages_per_layer + page_indices
     kv = data[gpages]
-    if is_quantized_cache(kv_pages):
-        if data.shape[-1] * 2 == hd:                  # KV4: unpack nibbles
-            from nanovllm_tpu.ops.ragged_paged_attention import _unpack_int4
+    quant = is_quantized_cache(kv_pages)
+    if quant and data.shape[-2] * 2 == kv_pages["scale"].shape[-2]:
+        # KV4: head h's K in the low nibble, V in the high (kv_cache.py)
+        from nanovllm_tpu.ops.ragged_paged_attention import _unpack_int4_kv
 
-            kv = _unpack_int4(kv)
         scale = kv_pages["scale"][gpages]             # [S, PPS, 2kvh, page]
-        kv = kv.astype(jnp.float32) * scale.transpose(0, 1, 3, 2)[..., None]
-    kv = kv.reshape(s, ctx, kvh, 2, hd)
-    k = kv[:, :, :, 0, :]                             # [S, C, kvh, hd]
-    v = kv[:, :, :, 1, :]
+        kq, vq = _unpack_int4_kv(kv)                  # [S, PPS, page, kvh, hd]
+        sk = scale[..., 0::2, :].transpose(0, 1, 3, 2)[..., None]
+        sv = scale[..., 1::2, :].transpose(0, 1, 3, 2)[..., None]
+        k = (kq.astype(jnp.float32) * sk).reshape(s, ctx, kvh, hd)
+        v = (vq.astype(jnp.float32) * sv).reshape(s, ctx, kvh, hd)
+    else:
+        if quant:
+            scale = kv_pages["scale"][gpages]         # [S, PPS, 2kvh, page]
+            kv = kv.astype(jnp.float32) * scale.transpose(0, 1, 3, 2)[..., None]
+        kv = kv.reshape(s, ctx, kvh, 2, hd)
+        k = kv[:, :, :, 0, :]                         # [S, C, kvh, hd]
+        v = kv[:, :, :, 1, :]
 
     tsid = jnp.clip(token_seq, 0, s - 1)
     k_t = k[tsid]                                     # [T, C, kvh, hd]

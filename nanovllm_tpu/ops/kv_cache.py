@@ -35,11 +35,13 @@ PAGE_SENTINEL = 1 << 30  # padded prefill_pages entry: clamps to a real plane, m
 def _quantize_rows(kv: jnp.ndarray, bits: int = 8):
     """Dynamic per-(token, head) symmetric int8/int4 quantization.
 
-    Returns (q, scale [T, 2kvh]): int8 -> q [T, 2kvh, hd] int8; int4 -> two
-    values packed per byte along head_dim, q [T, 2kvh, hd//2] int8.  Packing
-    is HALF-SPLIT (low nibble = element j, high = element j + hd/2): the
-    unpack is then a lane-axis concat, which Mosaic lowers — an adjacent-pair
-    interleave is an "unsupported shape cast" on TPU."""
+    Returns (q, scale [T, 2kvh]): int8 -> q [T, 2kvh, hd] int8; int4 ->
+    head h's K element in the LOW nibble and its V element in the HIGH
+    nibble of one byte, q [T, kvh, hd] int8.  K/V-paired packing keeps every
+    row/page slice 128 lanes wide (head_dim intact) — the TPU DMA tiling
+    rejects 64-lane slices, and nibble-interleave unpacks are "unsupported
+    shape cast" in Mosaic, while this layout unpacks with two shifts and no
+    relayout at all."""
     kvf = kv.astype(jnp.float32)
     qmax = 127.0 if bits == 8 else 7.0
     scale = jnp.max(jnp.abs(kvf), axis=-1) / qmax
@@ -48,16 +50,17 @@ def _quantize_rows(kv: jnp.ndarray, bits: int = 8):
     if bits == 8:
         return q.astype(jnp.int8), scale
     qi = q.astype(jnp.int32)
-    h2 = kv.shape[-1] // 2
-    packed = (qi[..., :h2] & 0xF) | ((qi[..., h2:] & 0xF) << 4)
+    packed = (qi[..., 0::2, :] & 0xF) | ((qi[..., 1::2, :] & 0xF) << 4)
     packed = lax.bitcast_convert_type(packed.astype(jnp.uint8), jnp.int8)
     return packed, scale
 
 
-def cache_kv_bits(kv_pages, head_dim: int) -> int:
-    """8 or 4, inferred from the packed head_dim of a quantized cache."""
-    data = kv_pages["data"] if is_quantized_cache(kv_pages) else kv_pages
-    return 4 if data.shape[-1] * 2 == head_dim else 8
+def cache_kv_bits(kv_pages) -> int:
+    """8 or 4: a KV4 cache's data plane carries kvh head rows against the
+    scale plane's 2kvh (K and V share a byte per head)."""
+    if not is_quantized_cache(kv_pages):
+        return 8
+    return 4 if kv_pages["data"].shape[-2] * 2 == kv_pages["scale"].shape[-2] else 8
 
 
 def _write_rows_scatter(kv_pages, layer, pages_per_layer, kv, slot):
@@ -74,7 +77,7 @@ def _write_rows_scatter(kv_pages, layer, pages_per_layer, kv, slot):
     if not is_quantized_cache(kv_pages):
         return data.at[page_idx, offset].set(kv.astype(data.dtype), mode="drop")
 
-    q, scale = _quantize_rows(kv, bits=cache_kv_bits(kv_pages, kv.shape[-1]))
+    q, scale = _quantize_rows(kv, bits=cache_kv_bits(kv_pages))
     # scale layout [LP, 2kvh, page]: page on the lane axis — a [.., page, 2kvh]
     # layout lane-pads 2kvh (16) up to 128, an 8x HBM blowup
     return {
@@ -133,18 +136,9 @@ def _write_rows_dma(kv_pages, layer, pages_per_layer, kv, slot,
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
 
     if quant:
-        rows, scale = _quantize_rows(kv, bits=cache_kv_bits(kv_pages, kv.shape[-1]))
+        rows, scale = _quantize_rows(kv, bits=cache_kv_bits(kv_pages))
     else:
         rows, scale = kv.astype(data.dtype), None
-
-    orig_shape = data.shape
-    if data.shape[-1] < 128 and (data.shape[-2] * data.shape[-1]) % 128 == 0:
-        # KV4 rows are [2kvh, hd//2] — below the 128-lane DMA tiling.  A
-        # token's row is contiguous, so view it as [*, 128] (free bitcast
-        # reshape) for the copies and view the cache back afterwards.
-        heads = data.shape[-2] * data.shape[-1] // 128
-        data = data.reshape(*data.shape[:2], heads, 128)
-        rows = rows.reshape(t, heads, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -172,7 +166,6 @@ def _write_rows_dma(kv_pages, layer, pages_per_layer, kv, slot,
         ),
         interpret=interpret,
     )(layer_arr, slot, rows, data)
-    new_data = new_data.reshape(orig_shape)
     if not quant:
         return new_data
 
@@ -218,9 +211,7 @@ def _write_rows_planes(kv_pages, layer, pages_per_layer, kv, slot, pages):
     if quant:
         # int8/int4-packed rows; packed bytes are integers in [-128, 127] and
         # survive the bf16 one-hot matmul below exactly
-        rows, scale_rows = _quantize_rows(
-            kv, bits=cache_kv_bits(kv_pages, kv.shape[-1])
-        )
+        rows, scale_rows = _quantize_rows(kv, bits=cache_kv_bits(kv_pages))
         scale = kv_pages["scale"]
     else:
         rows, scale_rows, scale = kv, None, None

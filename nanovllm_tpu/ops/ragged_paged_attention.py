@@ -35,16 +35,15 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -1e30
 
 
-def _unpack_int4(x):
-    """int4-packed int8 [..., W] -> int32 [..., 2W], half-split order (low
-    nibbles are elements [0, W), high nibbles [W, 2W) — see
-    kv_cache._quantize_rows).  A lane-axis concat is the only unpack shape
-    Mosaic lowers; shifts run in int32 (no int8 shli legalization).
-    """
+def _unpack_int4_kv(x):
+    """KV4 K/V-paired bytes [..., kvh, hd] -> (k, v) int32, each
+    [..., kvh, hd] (K = low nibble, V = high — see kv_cache._quantize_rows).
+    Two shifts, zero relayout; shifts run in int32 (no int8 shli
+    legalization in Mosaic)."""
     p32 = x.astype(jnp.int32)
-    low = jnp.right_shift(jnp.left_shift(p32, 28), 28)
-    high = jnp.right_shift(jnp.left_shift(p32, 24), 28)
-    return jnp.concatenate([low, high], axis=-1)
+    k = jnp.right_shift(jnp.left_shift(p32, 28), 28)
+    v = jnp.right_shift(jnp.left_shift(p32, 24), 28)
+    return k, v
 
 # Decode kernel: KV pages fetched+processed per loop iteration.  Raising this
 # widens the per-head dots and cuts loop-iteration count at the price of VMEM
@@ -359,13 +358,20 @@ def _decode_kernel(
     # per-head kernel was 89% of a decode step at 5x speed-of-light).
     perhead = q_tile > 1
     if not perhead:
+        # block-diagonal q against the K matrix: head h's q sits at column
+        # block h * bd_stride.  int8/bf16 caches interleave K/V on the head
+        # axis (stride 2*hd, K blocks at 2h); KV4 unpacks separate K and V
+        # matrices of width kvh*hd (stride hd, K blocks at h).
+        bd_stride = hd if kv_int4 else 2 * hd
+        bd_width = kvh * bd_stride
         q_bd = jnp.concatenate(
             [
-                jnp.pad(q[h], ((0, 0), (2 * h * hd, (2 * (kvh - h) - 1) * hd)))
+                jnp.pad(q[h], ((0, 0),
+                               (h * bd_stride, bd_width - h * bd_stride - hd)))
                 for h in range(kvh)
             ],
             axis=0,
-        )                                               # [r, d]
+        )                                               # [r, bd_width]
         # fold the softmax scale into q once per tile instead of per group
         q_bd = (q_bd.astype(jnp.float32) * sm_scale).astype(q.dtype)
     else:
@@ -390,20 +396,19 @@ def _decode_kernel(
         kv_raw [W, d] (W = window width), sc [2kvh, W] f32 scales (int8 KV
         only), col0 = global kv position of the window's first column.
         """
-        # one cast feeds both dots (int8/int4 KV -> exact in bf16);
-        # int4 unpacks PER HEAD (the half-split order is within each head's
-        # head_dim) before collapsing to the flat row width
+        w = gp
         if kv_int4:
-            kv_raw = _unpack_int4(
-                kv_raw.reshape(kv_raw.shape[0], 2 * kvh, hd // 2)
-            ).reshape(kv_raw.shape[0], d)
-        kv = kv_raw.astype(q.dtype)
-        w = kv.shape[0]
+            k_all, v_all = _unpack_int4_kv(kv_raw.reshape(w, kvh, hd))
+            k_mat = k_all.reshape(w, bd_width).astype(q.dtype)
+            v_mat = v_all.reshape(w, bd_width).astype(q.dtype)
+        else:
+            # one cast feeds both dots (int8 KV -> exact in bf16)
+            k_mat = v_mat = kv_raw.reshape(w, bd_width).astype(q.dtype)
         col = lax.broadcasted_iota(jnp.int32, (1, w), 1) + col0
         mask = col < limit                              # [1, W]
 
         scores = lax.dot_general(
-            q_bd, kv,
+            q_bd, k_mat,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                               # [r, W]
@@ -420,14 +425,16 @@ def _decode_kernel(
             # stale f32 scales in scratch, and 0 * NaN = NaN
             p = jnp.where(mask, p * stack_scales(sc, 1), 0.0)
         full = lax.dot_general(
-            p.astype(q.dtype), kv,
+            p.astype(q.dtype), v_mat,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                               # [r, d]
+        )                                               # [r, bd_width]
         # extract each head's V block from the diagonal
+        v_off = 0 if kv_int4 else hd
         pv = jnp.concatenate(
             [
-                full[h * qg:(h + 1) * qg, (2 * h + 1) * hd:(2 * h + 2) * hd]
+                full[h * qg:(h + 1) * qg,
+                     h * bd_stride + v_off:h * bd_stride + v_off + hd]
                 for h in range(kvh)
             ],
             axis=0,
@@ -463,10 +470,7 @@ def _decode_kernel(
         wait(slot, g)
         sc = scale_buf[slot] if kv_int8 else None
         if not perhead:
-            dp_w = d // 2 if kv_int4 else d
-            return sub_step(
-                kv_buf[slot].reshape(gp, dp_w), sc, g * gp, m, l, acc
-            )
+            return sub_step(kv_buf[slot], sc, g * gp, m, l, acc)
         return sub_step_perhead(kv_buf[slot], sc, g * gp, m, l, acc)
 
     def sub_step_perhead(kv_raw, sc, col0, m, l, acc):
@@ -474,15 +478,20 @@ def _decode_kernel(
 
         kv_raw [npp, page, 2kvh, hd]; m/l [kvh, qg]; acc [kvh, qg, hd].
         """
-        kv3 = kv_raw.reshape(gp, 2 * kvh, -1)
         if kv_int4:
-            kv3 = _unpack_int4(kv3)
+            k_all, v_all = _unpack_int4_kv(kv_raw.reshape(gp, kvh, hd))
+        else:
+            kv3 = kv_raw.reshape(gp, 2 * kvh, hd)
         col = lax.broadcasted_iota(jnp.int32, (1, gp), 1) + col0
         mask = col < row_lim                            # [qg, gp]
         ms, ls, accs = [], [], []
         for h in range(kvh):
-            k_h = kv3[:, 2 * h, :].astype(q.dtype)      # [gp, hd]
-            v_h = kv3[:, 2 * h + 1, :].astype(q.dtype)
+            if kv_int4:
+                k_h = k_all[:, h, :].astype(q.dtype)    # [gp, hd]
+                v_h = v_all[:, h, :].astype(q.dtype)
+            else:
+                k_h = kv3[:, 2 * h, :].astype(q.dtype)  # [gp, hd]
+                v_h = kv3[:, 2 * h + 1, :].astype(q.dtype)
             scores = lax.dot_general(
                 qs[h], k_h,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -547,9 +556,11 @@ def ragged_paged_attention_pallas(
     if kv_int8:
         kv_pages = kv_pages["data"]
     t, nh, hd = q.shape
-    # int4 packs two head_dim elements per byte (KV4)
-    kv_int4 = kv_int8 and kv_pages.shape[-1] * 2 == hd
-    _, page_size, kvh2, _ = kv_pages.shape
+    # KV4 packs head h's K (low nibble) and V (high) in one byte: the data
+    # plane then has kvh head rows against the scale plane's 2kvh
+    kv_int4 = kv_int8 and kv_pages.shape[2] * 2 == kv_scales.shape[1]
+    page_size = kv_pages.shape[1]
+    kvh2 = kv_scales.shape[1] if kv_int8 else kv_pages.shape[2]
     kvh = kvh2 // 2
     group = nh // kvh
     nt = t // q_tile
@@ -593,7 +604,7 @@ def ragged_paged_attention_pallas(
         inputs = [qk, kv_pages]
         scratch = [
             pltpu.VMEM(
-                (ring, npp, page_size, kvh2, kv_pages.shape[-1]),
+                (ring, npp, page_size, kv_pages.shape[2], kv_pages.shape[3]),
                 kv_pages.dtype,
             ),
         ]

@@ -10,7 +10,7 @@ from nanovllm_tpu import LLM, SamplingParams
 from nanovllm_tpu.ops.attention import ragged_paged_attention_ref
 from nanovllm_tpu.ops.kv_cache import _quantize_rows, write_kv_pages
 from nanovllm_tpu.ops.ragged_paged_attention import (
-    _unpack_int4,
+    _unpack_int4_kv,
     ragged_paged_attention_pallas,
 )
 
@@ -23,17 +23,21 @@ def test_pack_unpack_roundtrip():
     rng = np.random.default_rng(0)
     kv = jnp.asarray(rng.standard_normal((5, 4, 8)).astype(np.float32))
     packed, scale = _quantize_rows(kv, bits=4)
-    assert packed.shape == (5, 4, 4) and packed.dtype == jnp.int8
-    vals = np.asarray(_unpack_int4(packed))
-    assert vals.min() >= -7 and vals.max() <= 7
-    deq = vals * np.asarray(scale)[..., None]
-    np.testing.assert_allclose(deq, np.asarray(kv), atol=np.asarray(scale).max())
+    assert packed.shape == (5, 2, 8) and packed.dtype == jnp.int8
+    k, v = map(np.asarray, _unpack_int4_kv(packed))
+    assert min(k.min(), v.min()) >= -7 and max(k.max(), v.max()) <= 7
+    s = np.asarray(scale)
+    deq_k = k * s[:, 0::2][..., None]
+    deq_v = v * s[:, 1::2][..., None]
+    kv_np = np.asarray(kv)
+    np.testing.assert_allclose(deq_k, kv_np[:, 0::2], atol=s.max())
+    np.testing.assert_allclose(deq_v, kv_np[:, 1::2], atol=s.max())
 
 
 def _build_case(rng, kv_lens_list, kvh, hd, layers=2, num_pages=32):
     ppl = num_pages
     cache4 = {
-        "data": jnp.zeros((layers * ppl, PAGE, 2 * kvh, hd // 2), jnp.int8),
+        "data": jnp.zeros((layers * ppl, PAGE, kvh, hd), jnp.int8),
         "scale": jnp.zeros((layers * ppl, 2 * kvh, PAGE), jnp.float32),
     }
     s = len(kv_lens_list)
