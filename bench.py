@@ -11,7 +11,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is null because the reference publishes no numbers
 (BASELINE.md: "self-baseline").
 
-Env knobs: NVT_NUM_SEQS, NVT_MAX_IN, NVT_MAX_OUT, NVT_LAYERS, NVT_TP.
+Env knobs: NVT_NUM_SEQS, NVT_MAX_IN, NVT_MAX_OUT, NVT_LAYERS, NVT_TP,
+NVT_GEOM (0.6b | 1.7b | 4b | 8b | 14b — real Qwen3 family geometries; the
+BASELINE flagship is 14B, reference bench.py:8-28 uses it).
 """
 
 import json
@@ -19,6 +21,20 @@ import os
 import random
 import sys
 import time
+
+# Real Qwen3 model-family geometries (hidden/layers/heads/kv/inter from the
+# published HF configs; vocab 151936 across the family).  The 0.6B entry is
+# imported from __graft_entry__ to stay the single source of truth.
+GEOMETRIES = {
+    "1.7b": dict(hidden=2048, layers=28, heads=16, kv_heads=8, head_dim=128,
+                 inter=6144, vocab=151936),
+    "4b": dict(hidden=2560, layers=36, heads=32, kv_heads=8, head_dim=128,
+               inter=9728, vocab=151936),
+    "8b": dict(hidden=4096, layers=36, heads=32, kv_heads=8, head_dim=128,
+               inter=12288, vocab=151936),
+    "14b": dict(hidden=5120, layers=40, heads=40, kv_heads=8, head_dim=128,
+                inter=17408, vocab=151936),
+}
 
 
 def getenv_int(name, default):
@@ -44,10 +60,12 @@ def main():
     from nanovllm_tpu import LLM, SamplingParams
 
     random.seed(0)
+    geom_name = os.environ.get("NVT_GEOM", "0.6b")
+    base_geom = GEOMETRIES.get(geom_name, QWEN3_0_6B)
     num_seqs = getenv_int("NVT_NUM_SEQS", 256)
     max_in = getenv_int("NVT_MAX_IN", 1024)
     max_out = getenv_int("NVT_MAX_OUT", 1024)
-    layers = getenv_int("NVT_LAYERS", QWEN3_0_6B["layers"])
+    layers = getenv_int("NVT_LAYERS", base_geom["layers"])
     tp = getenv_int("NVT_TP", 1)
     # default = the BASELINE.json headline config (W8 weight-only + KV8);
     # set NVT_QUANT=none NVT_KV=auto for the bf16 self-baseline
@@ -57,7 +75,7 @@ def main():
     block = getenv_int("NVT_BLOCK", 128)             # KV page / prefix block
     budget = getenv_int("NVT_BUDGET", 8192)          # max_num_batched_tokens
 
-    geom = dict(QWEN3_0_6B, layers=layers)
+    geom = dict(base_geom, layers=layers)
     hf = _hf_cfg(**geom)
     llm = LLM(
         hf_config=hf,
@@ -110,11 +128,11 @@ def main():
         file=sys.stderr,
     )
     tag = "bf16" if quant == "none" and kv_dtype == "auto" else (
-        f"w{quant}"
+        {"none": "bf16", "int8": "wint8", "int4": "wint4", "w8a8": "w8a8"}[quant]
         + {"int8": "_kv8", "int4": "_kv4"}.get(kv_dtype, "")
     )
     print(json.dumps({
-        "metric": f"offline_throughput_qwen3_0.6b_{tag}",
+        "metric": f"offline_throughput_qwen3_{geom_name}_{tag}",
         "value": round(throughput, 2),
         "unit": "tok/s",
         "vs_baseline": None,

@@ -343,9 +343,20 @@ def forward_and_sample(params, kv_pages, batch, key, spec: ModelSpec, axis_name,
             jax.random.key_data(key).reshape(-1), jnp.int32
         )
         seeds = jnp.resize(seeds, (4,))
+        # off-TPU (interpret mode, e.g. the simulated-mesh tp tests) the core
+        # PRNG has no lowering: inject operand Gumbel noise instead.  Greedy
+        # rows (temperature <= 0) are exact either way.
+        interpret = jax.default_backend() != "tpu"
+        noise = None
+        if interpret:
+            noise = jax.random.gumbel(
+                jax.random.fold_in(key, 7), (sel.shape[0], lm.shape[0]),
+                dtype=jnp.float32,
+            )
         local_tok, local_max = fused_lm_sample(
             sel, lm, batch.temperatures, seeds, shard * spec.vocab_l,
             vocab_size=spec.vocab_size, lm_scale=lm_scale,
+            noise=noise, interpret=interpret,
         )
         tokens = resolve_shards(local_max, local_tok, axis_name)
         return tokens, new_kv_pages

@@ -268,7 +268,7 @@ def write_kv_pages(
     segments: tuple[int, int, int] | None = None,
     prefill_pages: jnp.ndarray | None = None,  # [PP, 2] (page id, token-row start)
     impl: str = "ref",          # "pallas" = DMA scatter for the decode segment
-    interpret: bool = False,
+    interpret: bool | None = None,  # None: interpret iff not on a real TPU
 ):
     """Scatter directly into the full multi-layer cache.
 
@@ -284,6 +284,8 @@ def write_kv_pages(
     and read bandwidth, BASELINE "KV8").
     """
     t, kvh, hd = k.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     kv = jnp.stack([k, v], axis=2).reshape(t, 2 * kvh, hd)
     write_rows = (
         functools.partial(_write_rows_dma, interpret=interpret)

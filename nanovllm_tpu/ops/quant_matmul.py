@@ -353,6 +353,9 @@ def quant_linear(x: jnp.ndarray, w, *, impl: str = "ref", layer=None) -> jnp.nda
         if x.ndim == w.ndim - 1 and layer is not None:  # stacked bf16
             w = w[layer]
         return x @ w
+    # interpret mode lets the production kernels run (slowly) on the CPU
+    # backend — this is how the tp>1 simulated-mesh tests exercise them
+    interpret = jax.default_backend() != "tpu"
     a8 = w["s"].ndim == w["w"].ndim - 1                 # W8A8 per-channel
     stacked = w["w"].ndim == 3
     if stacked and impl != "pallas":
@@ -365,10 +368,11 @@ def quant_linear(x: jnp.ndarray, w, *, impl: str = "ref", layer=None) -> jnp.nda
                 num_layers, _, n = w["w"].shape
                 return quant_matmul_a8_pallas(
                     x_q, sx, w["w"], w["s"].reshape(num_layers, 1, n),
-                    layer=layer, out_dtype=x.dtype,
+                    layer=layer, out_dtype=x.dtype, interpret=interpret,
                 )
             return quant_matmul_a8_pallas(
-                x_q, sx, w["w"], w["s"][None, :], out_dtype=x.dtype
+                x_q, sx, w["w"], w["s"][None, :], out_dtype=x.dtype,
+                interpret=interpret,
             )
         prod = lax.dot_general(
             x_q.astype(jnp.int32), w["w"].astype(jnp.int32),
@@ -379,6 +383,7 @@ def quant_linear(x: jnp.ndarray, w, *, impl: str = "ref", layer=None) -> jnp.nda
     int4 = w["w"].shape[-2] != w["s"].shape[-2] * GROUP
     if impl == "pallas":
         return quant_matmul_pallas(
-            x, w["w"], w["s"], int4=int4, layer=layer if stacked else None
+            x, w["w"], w["s"], int4=int4, layer=layer if stacked else None,
+            interpret=interpret,
         )
     return x @ dequant_weight(w["w"], w["s"], int4=int4, dtype=x.dtype)
