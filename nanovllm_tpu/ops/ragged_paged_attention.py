@@ -580,6 +580,17 @@ def ragged_paged_attention_pallas(
         # q_tile == 1 -> decode (block-diagonal compute); q_tile > 1 ->
         # prefill tiles (per-head compute); same DMA ring either way.
         npp = DECODE_PAGES_PER_ITER if q_tile == 1 else PREFILL_NPP
+        if q_tile > 1:
+            # the unrolled per-head loop keeps every head's [qg, npp*page]
+            # f32 score/probability temporaries live, so the live set scales
+            # with the GQA group size.  Hold the known-good VMEM envelope
+            # (kvh * qg * gp words, validated at the 0.6B geometry: kvh 8,
+            # qg 256, gp 512) by narrowing the page group: at group 4
+            # (Qwen3-4B/8B, 32h/8kv) npp 4 compiles to 16.9 MB > the 16 MB
+            # scoped budget; npp 2 restores the envelope.
+            envelope = 8 * 256 * 512
+            while npp > 1 and kvh * qg * npp * page_size > envelope:
+                npp //= 2
         xlane = DECODE_XLANE
         scalars = [layer_arr, tile_seq, tile_kvpos, kv_lens, page_indices]
         if xlane:
