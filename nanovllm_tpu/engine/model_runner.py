@@ -59,6 +59,33 @@ def _dtype_size(dtype: str) -> int:
     return jnp.dtype(dtype).itemsize
 
 
+def _init_distributed() -> None:
+    """Multi-controller bring-up (config.distributed=True).
+
+    Every host runs the identical engine script; this joins them into one
+    JAX runtime before any backend is touched.  Launch parameters come from
+    the standard cluster autodetect (TPU pods, Slurm, Open MPI) or, when
+    that is unavailable (e.g. the 2-process CPU lockstep test), from the
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID environment
+    variables.  Replaces the reference's per-rank NCCL rendezvous
+    (reference model_runner.py:121) without its single-host assumption.
+    """
+    import os
+
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    try:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(nproc) if nproc else None,
+            process_id=int(pid) if pid else None,
+        )
+    except RuntimeError as err:  # idempotent: the launcher may have done it
+        if "already" not in str(err).lower():
+            raise
+
+
 class BurstMeta(NamedTuple):
     """Transfer buffers for a decode burst (3 H2D copies)."""
 
@@ -91,8 +118,8 @@ class StepHandle(NamedTuple):
 class ModelRunner:
     def __init__(self, config: Config, devices=None):
         self.config = config
-        if config.distributed and jax.process_count() == 1:
-            jax.distributed.initialize()
+        if config.distributed:
+            _init_distributed()
         self.spec = ModelSpec.from_hf(
             config.hf_config, config.tensor_parallel_size, config.dtype
         )
@@ -144,12 +171,12 @@ class ModelRunner:
 
         # fixed feedback width: every program's token output is padded to
         # S_CAP lanes so the NEXT program can consume it as its feedback
-        # operand regardless of either step's s_pad bucket
+        # operand regardless of either step's s_pad bucket.  Token outputs
+        # (and hence fb) are replicated across dp — every host's scheduler
+        # consumes every group's tokens in the lockstep design — so the
+        # feedback operand is replicated too.
         self._s_cap = seq_pad(config.max_num_seqs, config.max_num_seqs)
-        self._fb = jax.device_put(
-            jnp.zeros((self.dp, self._s_cap), jnp.int32),
-            NamedSharding(self.mesh, P(DP_AXIS, None)),
-        )
+        self._fb = self._zeros_global((self.dp, self._s_cap), jnp.int32, P())
         self._fb_lane: dict[int, int] = {}
         self._step = self._build_step()
         self._burst = self._build_burst()
@@ -158,8 +185,14 @@ class ModelRunner:
         # rbg = XLA's hardware-backed RngBitGenerator: the sampler draws a
         # Gumbel per (lane, vocab) every decode step (~39M values at the
         # flagship geometry) and threefry spends 0.57 ms/step of pure VPU
-        # time on that (measured; see BENCHMARKS.md decode ablation)
-        self._base_key = jax.random.key(0, impl="rbg")
+        # time on that (measured; see BENCHMARKS.md decode ablation).
+        # Only the raw uint32 key DATA is kept: a process-local key array
+        # cannot feed a program spanning non-addressable devices, so each
+        # program rebuilds the key (wrap + fold_in(step counter)) inside.
+        self._key_data = self._put_batch(
+            np.asarray(jax.random.key_data(jax.random.key(0, impl="rbg"))),
+            leading_dp=False,
+        )
         self.stats = None  # EngineStats, attached by LLMEngine
 
         warm = config.warmup_buckets
@@ -221,29 +254,36 @@ class ModelRunner:
             return {"data": kv_pspec(), "scale": P(DP_AXIS, TP_AXIS, None)}
         return kv_pspec()
 
+    def _zeros_global(self, shape, dtype, spec):
+        """Sharded zeros materialized shard-by-shard on the global mesh.
+
+        jit-with-out_shardings never builds the full array on one device
+        (a plain device_put(jnp.zeros(...)) does — a transient full-size
+        HBM spike for the KV cache) and works on multi-host meshes where
+        device_put onto non-addressable devices is not allowed.
+        """
+        sharding = NamedSharding(self.mesh, spec)
+        return jax.jit(
+            lambda: jnp.zeros(shape, dtype), out_shardings=sharding
+        )()
+
     def _alloc_kv_pages(self, num_blocks: int):
         shape = self._kv_page_shape(num_blocks)
         if self._kv_int8:
             return {
-                "data": jax.device_put(
-                    jnp.zeros(shape, jnp.int8),
-                    NamedSharding(self.mesh, kv_pspec()),
-                ),
-                "scale": jax.device_put(
-                    # [dp*LP, 2kvh, page]: page on lanes (a [.., page, 2kvh]
-                    # layout lane-pads 2kvh up to 128 = 8x HBM blowup);
-                    # ALWAYS 2kvh rows — KV4's data plane halves its head
-                    # axis (K/V share a byte) but scales stay per K/V head
-                    jnp.zeros(
-                        (shape[0], 2 * self.spec.num_kv_heads, shape[1]),
-                        jnp.float32,
-                    ),
-                    NamedSharding(self.mesh, P(DP_AXIS, TP_AXIS, None)),
+                "data": self._zeros_global(shape, jnp.int8, kv_pspec()),
+                # [dp*LP, 2kvh, page]: page on lanes (a [.., page, 2kvh]
+                # layout lane-pads 2kvh up to 128 = 8x HBM blowup);
+                # ALWAYS 2kvh rows — KV4's data plane halves its head
+                # axis (K/V share a byte) but scales stay per K/V head
+                "scale": self._zeros_global(
+                    (shape[0], 2 * self.spec.num_kv_heads, shape[1]),
+                    jnp.float32,
+                    P(DP_AXIS, TP_AXIS, None),
                 ),
             }
-        sharding = NamedSharding(self.mesh, kv_pspec())
-        return jax.device_put(
-            jnp.zeros(shape, dtype=jnp.dtype(self.spec.dtype)), sharding
+        return self._zeros_global(
+            shape, jnp.dtype(self.spec.dtype), kv_pspec()
         )
 
     def _derive_num_blocks(self) -> int:
@@ -326,16 +366,20 @@ class ModelRunner:
         split = self._dp_split
         s_cap = self._s_cap
 
-        @functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(1,))
-        def step(params, kv_pages, packed, fb, key, segments):
-            def local(params, kv_pages, packed, fb, key):
+        @functools.partial(jax.jit, static_argnums=(6,), donate_argnums=(1,))
+        def step(params, kv_pages, packed, fb, kd, ctr, segments):
+            def local(params, kv_pages, packed, fb, kd, ctr):
                 # kv arrives as the group's own flat 4-D shard; only the
                 # small batch arrays carry an explicit leading dp axis
-                key = jax.random.fold_in(key, lax.axis_index(DP_AXIS))
+                g = lax.axis_index(DP_AXIS)
+                key = jax.random.fold_in(
+                    jax.random.wrap_key_data(kd, impl="rbg"), ctr
+                )
+                key = jax.random.fold_in(key, g)
                 batch = split(packed).unpack()
                 # async scheduling: rows whose input token is still on device
                 # read it from the previous program's output (fb_idx = lane)
-                fbv = fb[0]
+                fbv = fb[g]
                 batch = batch._replace(token_ids=jnp.where(
                     batch.fb_idx >= 0,
                     fbv[jnp.clip(batch.fb_idx, 0, fbv.shape[0] - 1)],
@@ -346,17 +390,21 @@ class ModelRunner:
                     spec, TP_AXIS, attn_impl, segments=segments,
                 )
                 # pad to the fixed feedback width (next program's fb operand)
+                # and replicate across dp: every host's scheduler consumes
+                # every group's tokens (lockstep design), and a dp-sharded
+                # output could not even be fetched by a host that does not
+                # address the other group's devices
                 tokens = jnp.pad(tokens, (0, s_cap - tokens.shape[0]))
-                return tokens[None], kv
+                return lax.all_gather(tokens, DP_AXIS), kv
 
             fn = _shard_map(
                 local,
                 mesh=mesh,
-                in_specs=(pspecs, kvspec, packed_specs, P(DP_AXIS, None), P()),
-                out_specs=(P(DP_AXIS, None), kvspec),
+                in_specs=(pspecs, kvspec, packed_specs, P(), P(), P()),
+                out_specs=(P(), kvspec),
                 check_vma=False,
             )
-            return fn(params, kv_pages, packed, fb, key)
+            return fn(params, kv_pages, packed, fb, kd, ctr)
 
         return step
 
@@ -377,13 +425,14 @@ class ModelRunner:
                     params, kv_pages, split(packed).unpack(),
                     targets[0], spec, TP_AXIS, attn_impl, segments=segments,
                 )
-                return lps[None], kv
+                # replicate across dp (see _build_step)
+                return lax.all_gather(lps, DP_AXIS), kv
 
             fn = _shard_map(
                 local,
                 mesh=mesh,
                 in_specs=(pspecs, kvspec, packed_specs, P(DP_AXIS)),
-                out_specs=(P(DP_AXIS, None), kvspec),
+                out_specs=(P(), kvspec),
                 check_vma=False,
             )
             return fn(params, kv_pages, packed, targets)
@@ -421,6 +470,11 @@ class ModelRunner:
 
         return jax.tree.map(put, tree)
 
+    def _ctr(self, n: int):
+        """Step counter as a replicated scalar operand (the per-program PRNG
+        key is derived from it inside the program — see _key_data)."""
+        return self._put_batch(np.asarray(n, np.int32), leading_dp=False)
+
     def run_score(self, seqs: list[Sequence], targets_fn=None) -> np.ndarray:
         """One scoring step over the scheduled chunks (dp group 0); returns
         logprobs [T_pad].
@@ -447,7 +501,8 @@ class ModelRunner:
         targets_dp = np.zeros((self.dp,) + targets.shape, targets.dtype)
         targets_dp[0] = targets
         lps_dev, self.kv_pages = self._score(
-            self.params, self.kv_pages, packed, jnp.asarray(targets_dp), segments
+            self.params, self.kv_pages, packed, self._put_batch(targets_dp),
+            segments,
         )
         return np.asarray(jax.device_get(lps_dev))[0], batch_np
 
@@ -471,12 +526,16 @@ class ModelRunner:
 
         s_cap = self._s_cap
 
-        @functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(1,))
-        def burst(params, kv_pages, meta, fb, key, w):
-            def local(params, kv_pages, meta, fb, key):
-                key = jax.random.fold_in(key, lax.axis_index(DP_AXIS))
+        @functools.partial(jax.jit, static_argnums=(6,), donate_argnums=(1,))
+        def burst(params, kv_pages, meta, fb, kd, ctr, w):
+            def local(params, kv_pages, meta, fb, kd, ctr):
+                g = lax.axis_index(DP_AXIS)
+                key = jax.random.fold_in(
+                    jax.random.wrap_key_data(kd, impl="rbg"), ctr
+                )
+                key = jax.random.fold_in(key, g)
                 meta = split(meta)
-                fbv = fb[0]
+                fbv = fb[g]
                 fb_idx = meta.tp[2]
                 tokens0 = jnp.where(
                     fb_idx >= 0,
@@ -521,16 +580,21 @@ class ModelRunner:
                     body, (tokens0, kv_pages), jnp.arange(w, dtype=jnp.int32)
                 )
                 fb_out = jnp.pad(toks_last, (0, s_cap - s))
-                return tokens_ws[None], fb_out[None], kv_pages_out
+                # replicate across dp (see _build_step)
+                return (
+                    lax.all_gather(tokens_ws, DP_AXIS),
+                    lax.all_gather(fb_out, DP_AXIS),
+                    kv_pages_out,
+                )
 
             fn = _shard_map(
                 local,
                 mesh=mesh,
-                in_specs=(pspecs, kvspec, meta_specs, P(DP_AXIS, None), P()),
-                out_specs=(P(DP_AXIS, None, None), P(DP_AXIS, None), kvspec),
+                in_specs=(pspecs, kvspec, meta_specs, P(), P(), P()),
+                out_specs=(P(), P(), kvspec),
                 check_vma=False,
             )
-            return fn(params, kv_pages, meta, fb, key)
+            return fn(params, kv_pages, meta, fb, kd, ctr)
 
         return burst
 
@@ -591,9 +655,9 @@ class ModelRunner:
             batches = [prepare_step_batch(seqs, bs, layout)[0]] * self.dp
             segments = layout[:3]
             packed = self._put_batch(self._stack_packed(batches))
-            key = jax.random.fold_in(self._base_key, 0)
             tokens, self.kv_pages = self._step(
-                self.params, self.kv_pages, packed, self._fb, key, segments
+                self.params, self.kv_pages, packed, self._fb,
+                self._key_data, self._ctr(0), segments,
             )
             jax.block_until_ready(tokens)
         w = self.config.decode_burst
@@ -610,9 +674,9 @@ class ModelRunner:
                     pages=np.zeros((self.dp, s, self._p_pad), np.int32),
                     temps=np.zeros((self.dp, s), np.float32),
                 ))
-                key = jax.random.fold_in(self._base_key, 0)
                 tokens, _fb_out, self.kv_pages = self._burst(
-                    self.params, self.kv_pages, meta, self._fb, key, w
+                    self.params, self.kv_pages, meta, self._fb,
+                    self._key_data, self._ctr(0), w,
                 )
                 jax.block_until_ready(tokens)
         # One real D2H transfer: the tunnel's FIRST device->host fetch in a
@@ -653,10 +717,11 @@ class ModelRunner:
             for lane, i in enumerate(grp):
                 lane_of[i] = (g, lane)
         packed = self._put_batch(self._stack_packed(batches))
-        key = jax.random.fold_in(self._base_key, self._step_counter)
+        ctr = self._ctr(self._step_counter)
         self._step_counter += 1
         tokens_dev, self.kv_pages = self._step(
-            self.params, self.kv_pages, packed, self._fb, key, segments
+            self.params, self.kv_pages, packed, self._fb,
+            self._key_data, ctr, segments,
         )
         self._fb = tokens_dev
         self._fb_lane = {
@@ -696,10 +761,11 @@ class ModelRunner:
                 temps[g, lane] = seq.temperature
                 lane_of[i] = (g, lane)
         meta = self._put_batch(BurstMeta(tp=tp, pages=pages, temps=temps))
-        key = jax.random.fold_in(self._base_key, self._step_counter)
+        ctr = self._ctr(self._step_counter)
         self._step_counter += 1
         tokens_dev, fb_dev, self.kv_pages = self._burst(
-            self.params, self.kv_pages, meta, self._fb, key, w
+            self.params, self.kv_pages, meta, self._fb,
+            self._key_data, ctr, w,
         )
         self._fb = fb_dev
         self._fb_lane = {

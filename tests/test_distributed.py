@@ -1,0 +1,109 @@
+"""2-process jax.distributed execution of the engine (config.distributed).
+
+The reference runs a real multi-process control plane (one process per GPU,
+SharedMemory+Event broadcast, reference model_runner.py:146-288).  Our
+replacement is lockstep multi-controller: every host runs the identical
+engine script; the pure-Python scheduler is deterministic, so all hosts
+schedule identically and dispatch the same jit programs; token outputs are
+replicated across hosts by an in-program all_gather.  These tests actually
+EXECUTE that design with two OS processes over the CPU backend (gloo
+collectives): identical request stream in, identical tokens out, and
+dp-sharded batch placement via make_array_from_callback exercised
+multi-process (model_runner._put_batch).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+from tests.test_dp import PROMPTS, greedy, make_llm
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    from tests.util_tiny_model import make_tiny_qwen3
+
+    path = str(tmp_path_factory.mktemp("tiny_qwen3_dist"))
+    cfg = make_tiny_qwen3(path)
+    return path, cfg
+
+
+def _run_world(ckpt: str, tmp: str, *, dp: int, tp: int, local_devices: int):
+    """Spawn 2 processes running tests/dist_worker.py; return their outputs."""
+    nproc = 2
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "dist_worker.py")
+    procs, out_files = [], []
+    for pid in range(nproc):
+        env = dict(os.environ)
+        env.update(
+            # the worker forces the CPU backend itself via jax.config (env
+            # vars are overridden by the ambient TPU-tunnel machinery)
+            NVT_LOCAL_DEVICES=str(local_devices),
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES=str(nproc),
+            JAX_PROCESS_ID=str(pid),
+            NVT_DP=str(dp),
+            NVT_TP=str(tp),
+            # the worker imports nanovllm_tpu; subprocesses don't inherit
+            # pytest's rootdir on sys.path
+            PYTHONPATH=os.pathsep.join(
+                [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+                + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+            ),
+        )
+        out = os.path.join(tmp, f"out_dp{dp}_tp{tp}_p{pid}.json")
+        out_files.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, ckpt, out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        ))
+    errs = []
+    try:
+        for p in procs:
+            _, stderr = p.communicate(timeout=600)
+            errs.append(stderr)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        raise
+    for p, stderr in zip(procs, errs):
+        assert p.returncode == 0, stderr[-4000:]
+    results = []
+    for out in out_files:
+        with open(out) as f:
+            results.append(json.load(f))
+    return results
+
+
+def test_distributed_dp2_lockstep(tiny_ckpt, tmp_path):
+    """dp=2 across 2 processes (1 device each): the dp axis spans hosts."""
+    path, cfg = tiny_ckpt
+    results = _run_world(path, str(tmp_path), dp=2, tp=1, local_devices=1)
+    assert {r["process"] for r in results} == {0, 1}
+    assert results[0]["tokens"] == results[1]["tokens"]
+    # and the multi-process run matches the single-process dp=2 mesh
+    ref = greedy(make_llm(path, cfg, dp=2), PROMPTS)
+    assert results[0]["tokens"] == ref
+
+
+def test_distributed_tp2_lockstep(tiny_ckpt, tmp_path):
+    """tp=2 across 2 processes: per-layer psum collectives cross processes."""
+    path, cfg = tiny_ckpt
+    results = _run_world(path, str(tmp_path), dp=1, tp=2, local_devices=1)
+    assert results[0]["tokens"] == results[1]["tokens"]
+    ref = greedy(make_llm(path, cfg, dp=1, tp=1), PROMPTS)
+    assert results[0]["tokens"] == ref
