@@ -79,7 +79,7 @@ def main():
     hf = _hf_cfg(**geom)
     llm = LLM(
         hf_config=hf,
-        random_weights=True,
+        random_weights="fast",  # broadcast layer stacks: /L host init time
         dtype="bfloat16",
         tensor_parallel_size=tp,
         quantization=quant,

@@ -74,7 +74,10 @@ class Config:
     # runs that have no checkpoint directory on disk).
     hf_config: Any = field(default=None, repr=False)
     # Initialize weights randomly instead of loading safetensors (bench mode).
-    random_weights: bool = False
+    # True = per-layer-distinct values; "fast" = one layer broadcast across
+    # the stack (identical layers — fine for throughput benches, /L host init
+    # time at large geometries; do NOT use for quality proxies).
+    random_weights: bool | str = False
     # Decode burst: when every running sequence is decoding and nothing is
     # waiting, run up to this many decode steps in ONE device program per
     # host round-trip (0 disables).  This is the TPU-native answer to the

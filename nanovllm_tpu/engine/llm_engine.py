@@ -197,11 +197,13 @@ class LLMEngine:
             assert len(token_ids) >= 2, "need at least 2 tokens to score"
             seq = Sequence(token_ids, SamplingParams(),
                            block_size=self.config.kvcache_block_size)
-            n_blocks = seq.num_blocks
             assert bm.can_allocate(len(token_ids)), "document exceeds KV capacity"
-            for _ in range(n_blocks):
-                blk = bm._take_free_block(bm.free_queue[0])
-                seq.block_table.append(blk.block_id)
+            # fresh hashless blocks through the allocator's own accounting
+            # (reserve_append_block); the prefix cache is deliberately not
+            # consulted or populated — every position must be computed
+            for _ in range(seq.num_blocks):
+                ok = bm.reserve_append_block(seq)
+                assert ok, "document exceeds KV capacity"
             lps = [0.0] * len(token_ids)
             try:
                 while seq.num_cached_tokens < len(seq):

@@ -135,7 +135,10 @@ class ModelRunner:
         if config.random_weights:
             from nanovllm_tpu.utils.loader import init_random_params
 
-            params_np = init_random_params(0, self.spec)
+            params_np = init_random_params(
+                0, self.spec,
+                distinct_layers=config.random_weights != "fast",
+            )
             if config.quantization != "none":
                 from nanovllm_tpu.utils.loader import quantize_params
 

@@ -285,11 +285,19 @@ def quantize_weight_a8(w, group_unused=None):
     """
     import numpy as np
 
-    w = np.asarray(w, dtype=np.float32)
-    amax = np.abs(w).max(axis=-2, keepdims=True)        # [..., 1, N]
-    sw = np.maximum(amax, 1e-8) / 127.0
-    q = np.rint(w / sw).clip(-127, 127).astype(np.int8)
-    return q, sw.astype(np.float32)
+    try:  # torch's threaded elementwise math is ~3x numpy on this host
+        import torch
+
+        t = torch.from_numpy(np.ascontiguousarray(w, dtype=np.float32))
+        sw = (t.abs().amax(dim=-2, keepdim=True).clamp_min(1e-8) / 127.0)
+        q = torch.round(t / sw).clamp(-127, 127).to(torch.int8)
+        return q.numpy(), sw.numpy()
+    except ImportError:  # pragma: no cover
+        w = np.asarray(w, dtype=np.float32)
+        amax = np.abs(w).max(axis=-2, keepdims=True)    # [..., 1, N]
+        sw = np.maximum(amax, 1e-8) / 127.0
+        q = np.rint(w / sw).clip(-127, 127).astype(np.int8)
+        return q, sw.astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -303,20 +311,36 @@ def quantize_weight(w, *, int4: bool = False, group: int = GROUP):
     """
     import numpy as np
 
-    w = np.asarray(w, dtype=np.float32)
     *lead, k, n = w.shape
     assert k % group == 0, (k, group)
-    grouped = w.reshape(*lead, k // group, group, n)
     qmax = 7.0 if int4 else 127.0
-    scales = np.abs(grouped).max(axis=-2) / qmax          # [..., K/g, N]
-    scales = np.maximum(scales, 1e-8)
-    q = np.rint(grouped / scales[..., None, :]).clip(-qmax, qmax)
-    q = q.reshape(*lead, k, n).astype(np.int8)
+    try:  # torch's threaded elementwise math is ~3x numpy on this host
+        import torch
+
+        t = torch.from_numpy(np.ascontiguousarray(w, dtype=np.float32))
+        grouped = t.reshape(*lead, k // group, group, n)
+        scales = (grouped.abs().amax(dim=-2) / qmax).clamp_min(1e-8)
+        q = (
+            torch.round(grouped / scales.unsqueeze(-2))
+            .clamp(-qmax, qmax)
+            .to(torch.int8)
+            .reshape(*lead, k, n)
+            .numpy()
+        )
+        scales = scales.numpy()
+    except ImportError:  # pragma: no cover
+        wf = np.asarray(w, dtype=np.float32)
+        grouped = wf.reshape(*lead, k // group, group, n)
+        scales = np.abs(grouped).max(axis=-2) / qmax      # [..., K/g, N]
+        scales = np.maximum(scales, 1e-8)
+        q = np.rint(grouped / scales[..., None, :]).clip(-qmax, qmax)
+        q = q.reshape(*lead, k, n).astype(np.int8)
+        scales = scales.astype(np.float32)
     if int4:
         low = q[..., 0::2, :] & 0x0F
         high = (q[..., 1::2, :] & 0x0F) << 4
         q = (low | high).astype(np.int8)                  # [..., K//2, N]
-    return q, scales.astype(np.float32)
+    return q, scales
 
 
 def dequant_weight(w_q: jnp.ndarray, scales: jnp.ndarray, *, int4: bool = False,

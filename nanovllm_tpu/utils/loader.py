@@ -120,11 +120,19 @@ def quantize_lm_head(head: "np.ndarray") -> dict:
     sampling kernel (ops/fused_sample.py) — halves the head's HBM stream,
     which is the dominant fixed cost of a decode sampling pass.
     """
-    head = np.asarray(head, dtype=np.float32)
-    amax = np.abs(head).max(axis=1, keepdims=True)
-    s = np.maximum(amax, 1e-8) / 127.0
-    q = np.rint(head / s).clip(-127, 127).astype(np.int8)
-    return {"w": q, "s": s.astype(np.float32).reshape(1, -1)}
+    try:  # threaded math (see ops/quant_matmul.quantize_weight)
+        import torch
+
+        t = torch.from_numpy(np.ascontiguousarray(head, dtype=np.float32))
+        s = t.abs().amax(dim=1, keepdim=True).clamp_min(1e-8) / 127.0
+        q = torch.round(t / s).clamp(-127, 127).to(torch.int8).numpy()
+        return {"w": q, "s": s.numpy().astype(np.float32).reshape(1, -1)}
+    except ImportError:  # pragma: no cover
+        head = np.asarray(head, dtype=np.float32)
+        amax = np.abs(head).max(axis=1, keepdims=True)
+        s = np.maximum(amax, 1e-8) / 127.0
+        q = np.rint(head / s).clip(-127, 127).astype(np.int8)
+        return {"w": q, "s": s.astype(np.float32).reshape(1, -1)}
 
 
 def quantize_params(params: dict, mode: str, tp: int,
@@ -146,17 +154,29 @@ def quantize_params(params: dict, mode: str, tp: int,
     layers = dict(params["layers"])
     for name in QUANTIZED_LAYER_WEIGHTS:
         w = layers[name]                       # [L, K, N]
+        # broadcast layer stacks (init_random_params distinct_layers=False):
+        # quantize one plane, broadcast the result — /L host time and memory
+        bcast = w.ndim == 3 and w.strides[0] == 0
+        L = w.shape[0]
+        if bcast:
+            w = w[0]
         if mode == "w8a8":
             wq, sw = quantize_weight_a8(w)
+            if bcast:
+                wq = np.broadcast_to(wq, (L,) + wq.shape)
+                sw = np.broadcast_to(sw, (L,) + sw.shape)
             layers[name] = {"w": wq, "s": sw[:, 0, :]}  # scales [L, N]
             continue
-        k = w.shape[1]
+        k = w.shape[-2]
         if name in ("o", "down"):
             # row-parallel: each shard's K range must align to the group
             assert (k // tp) % GROUP == 0, (name, k, tp)
         else:
             assert k % GROUP == 0, (name, k)
         wq, scales = quantize_weight(w, int4=int4)
+        if bcast:
+            wq = np.broadcast_to(wq, (L,) + wq.shape)
+            scales = np.broadcast_to(scales, (L,) + scales.shape)
         layers[name] = {"w": wq, "s": scales}
     out = dict(params)
     out["layers"] = layers
@@ -167,9 +187,20 @@ def quantize_params(params: dict, mode: str, tp: int,
     return out
 
 
-def init_random_params(seed: int, spec: ModelSpec, scale: float = 0.02) -> dict:
-    """Random-normal params with the same structure (bench / tests without a
-    checkpoint; throughput does not depend on weight values)."""
+def init_random_params(seed: int, spec: ModelSpec, scale: float = 0.02,
+                       distinct_layers: bool = True) -> dict:
+    """Random params with the model's structure (bench / tests without a
+    checkpoint; throughput does not depend on weight values).
+
+    Values are tiled from a 4M-entry Gaussian pool: numpy's per-sample
+    Gaussian is ~13M samples/s on this host, which made a 14B-geometry init
+    take ~19 minutes; tiling is pure memcpy.  ``distinct_layers=False``
+    additionally broadcasts ONE layer's weights across the layer stack
+    (zero-copy views) — identical layers change nothing for throughput
+    benchmarking, and quantization then runs once per shape instead of once
+    per layer (bench.py cold start).  Keep it True for anything that looks
+    at model BEHAVIOR (quality proxies).
+    """
     rng = np.random.default_rng(seed)
     dt = _np_dtype(spec.dtype)
     L, H, hd = spec.num_layers, spec.hidden_size, spec.head_dim
@@ -177,8 +208,23 @@ def init_random_params(seed: int, spec: ModelSpec, scale: float = 0.02) -> dict:
     kv_sz = spec.num_kv_heads * hd
     I, V = spec.intermediate_size, spec.vocab_padded
 
+    pool = (rng.standard_normal(1 << 22, dtype=np.float32) * scale).astype(dt)
+    offset = [0]
+
+    def fill(shape):
+        # distinct prime-stride start per call so no two fills (or two layer
+        # planes) are equal or trivially aligned copies of each other
+        offset[0] = (offset[0] + 1310711) % pool.size
+        src = np.roll(pool, -offset[0])
+        n = int(np.prod(shape))
+        return np.tile(src, -(-n // pool.size))[:n].reshape(shape)
+
     def w(*shape):
-        return (rng.standard_normal(shape, dtype=np.float32) * scale).astype(dt)
+        if len(shape) == 3 and shape[0] == L:
+            if not distinct_layers:
+                return np.broadcast_to(fill(shape[1:]), shape)
+            return np.stack([fill(shape[1:]) for _ in range(L)])
+        return fill(shape)
 
     def ones(*shape):
         return np.ones(shape, dtype=dt)

@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--t", type=int, default=256)
     ap.add_argument("--layers", type=int, default=28)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--geom", default="0.6b", choices=["0.6b", "4b"])
+    ap.add_argument("--a8", action="store_true",
+                    help="W8A8 cases (diagnose the e2e w8a8 slowdown)")
     args = ap.parse_args()
 
     import functools
@@ -123,25 +126,51 @@ def main():
         )(jnp.asarray(layer, jnp.int32).reshape(1), x, w_q,
           scales.reshape(L, n_k, gpt, n))
 
-    # Qwen3-0.6B decode shapes: qkv, o, gate_up, down
+    # Qwen3-0.6B decode shapes: qkv, o, gate_up, down (--geom 4b for Qwen3-4B)
     shapes = [(1024, 4096), (2048, 1024), (1024, 6144), (3072, 1024)]
+    h0 = 1024
+    if args.geom == "4b":
+        shapes = [(2560, 5120), (4096, 2560), (2560, 19456), (9728, 2560)]
+        h0 = 2560
     L = args.layers
     rng = np.random.default_rng(0)
     weights = []
     for k, n in shapes:
         wq, s = quantize_weight(rng.standard_normal((L, k, n), np.float32) * 0.02)
         weights.append((jnp.asarray(wq), jnp.asarray(s)))
-    x0 = jnp.asarray(rng.standard_normal((args.t, 1024)) * 0.1, jnp.bfloat16)
+    x0 = jnp.asarray(rng.standard_normal((args.t, h0)) * 0.1, jnp.bfloat16)
 
-    def make(bn, bk, variant=None):
+    from nanovllm_tpu.ops.quant_matmul import (
+        quant_matmul_a8_pallas,
+        quantize_activations,
+        quantize_weight_a8,
+    )
+
+    weights_a8 = []
+    for k, n in shapes:
+        wq, sw = quantize_weight_a8(
+            rng.standard_normal((L, k, n), np.float32) * 0.02
+        )
+        weights_a8.append((jnp.asarray(wq), jnp.asarray(sw)))  # sw [L,1,N]
+
+    def make(bn, bk, variant=None, a8=None):
         @jax.jit
         def run(x0, weights, steps):
             def body(acc, layer):
                 h = x0 + acc * 1e-9
                 outs = []
                 for (wq, s), (k, n) in zip(weights, shapes):
-                    xin = h if k == 1024 else jnp.tile(h, (1, k // 1024))
-                    if variant is None:
+                    xin = h if k == h0 else jnp.tile(h, (1, k // h0))
+                    if a8 is not None:
+                        if a8 == "dyn":          # production path: per-token
+                            x_q, sx = quantize_activations(xin)
+                        else:                     # pre-quantized (isolates MXU)
+                            x_q = xin.astype(jnp.int8)
+                            sx = jnp.ones((xin.shape[0], 1), jnp.float32)
+                        outs.append(quant_matmul_a8_pallas(
+                            x_q, sx, wq, s, layer=layer,
+                            block_n=bn, block_k=bk))
+                    elif variant is None:
                         outs.append(quant_matmul_pallas(
                             xin, wq, s, layer=layer, block_n=bn, block_k=bk))
                     else:
@@ -150,20 +179,30 @@ def main():
                 step = sum(jnp.sum(o).astype(jnp.float32) for o in outs)
                 return acc + step, None
             return jax.lax.scan(body, jnp.float32(0), steps % L)[0]
-        return lambda n: run(x0, weights, jnp.arange(L * n, dtype=jnp.int32))
+        w = weights_a8 if a8 is not None else weights
+        return lambda n: run(x0, w, jnp.arange(L * n, dtype=jnp.int32))
 
     bytes_per_layer = sum(k * n + k // 128 * n * 4 for k, n in shapes)
     print(f"weight bytes/layer: {bytes_per_layer / 1e6:.1f} MB; "
           f"{L} layers -> {L * bytes_per_layer / 1e9:.2f} GB per iteration")
-    cases = [
-        ("v1 f32-dequant", 512, 512, None),
-        ("v1 f32-dequant", 1024, 1024, None),
-        ("v2 bf16-dequant", 1024, 1024, _kern_v2),
-        ("v3 scale-after-dot", 1024, 1024, _kern_v3),
-        ("v3 scale-after-dot", 1024, 512, _kern_v3),
-    ]
-    for name, bn, bk, variant in cases:
-        fn = make(bn, bk, variant)
+    if args.a8:
+        cases = [
+            ("w8a16 control", 1024, 1024, None, None),
+            ("a8 dyn act-quant", 512, 512, None, "dyn"),
+            ("a8 pre-quant x", 512, 512, None, "pre"),
+            ("a8 dyn act-quant", 1024, 1024, None, "dyn"),
+            ("a8 pre-quant x", 1024, 1024, None, "pre"),
+        ]
+    else:
+        cases = [
+            ("v1 f32-dequant", 512, 512, None, None),
+            ("v1 f32-dequant", 1024, 1024, None, None),
+            ("v2 bf16-dequant", 1024, 1024, _kern_v2, None),
+            ("v3 scale-after-dot", 1024, 1024, _kern_v3, None),
+            ("v3 scale-after-dot", 1024, 512, _kern_v3, None),
+        ]
+    for name, bn, bk, variant, a8 in cases:
+        fn = make(bn, bk, variant, a8)
         # the tunnel costs ~23 ms per dispatch: difference two iteration
         # counts to cancel the round trip (and any other per-call constant)
         jax.device_get(fn(args.iters)); jax.device_get(fn(2 * args.iters))
