@@ -44,6 +44,10 @@ def getenv_int(name, default):
 def main():
     import jax
 
+    if os.environ.get("NVT_CPU"):
+        # the ambient TPU-tunnel machinery clobbers JAX_PLATFORMS=cpu from
+        # the environment; forcing through jax.config works (conftest trick)
+        jax.config.update("jax_platforms", "cpu")
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -2,11 +2,20 @@
 
 Same workload and metrics as the reference (reference serving_bench.py:61-167):
 Poisson arrivals at --request-rate, fixed random input/output lengths,
-reporting throughput, average TTFT, average TPOT, and average latency.
-Differences: request ids come from ``add_request``'s return value (the
-reference pokes ``scheduler.waiting[-1]``, SURVEY.md §3.4), and with no
+reporting throughput, TTFT, TPOT, and latency (now with p50/p99, not just
+averages).  Differences: request ids come from ``add_request``'s return value
+(the reference pokes ``scheduler.waiting[-1]``, SURVEY.md §3.4), and with no
 checkpoint on disk the model is the flagship geometry with random weights
 (--model random).
+
+Beyond the reference:
+  --sweep 8,16,24,32,48,64   rate sweep to saturation on ONE engine (one
+                             warmup); emits one JSON line per rate so the
+                             saturation point and tail-latency blowup are
+                             visible in a single run.
+  --deadline-s N             overload behavior: abort_request() any request
+                             whose latency exceeds N seconds mid-flight;
+                             aborted counts are reported per rate.
 """
 
 import argparse
@@ -54,6 +63,10 @@ class RequestMetrics:
 def build_engine(args):
     import jax
 
+    if os.environ.get("NVT_CPU"):
+        # the ambient TPU-tunnel machinery clobbers JAX_PLATFORMS=cpu from
+        # the environment; forcing through jax.config works (conftest trick)
+        jax.config.update("jax_platforms", "cpu")
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
@@ -68,20 +81,127 @@ def build_engine(args):
         enforce_eager=args.enforce_eager,
         quantization=args.quantization,
         kv_cache_dtype=args.kv_cache_dtype,
+        dtype=args.dtype,
     )
     if args.model == "random":
         from __graft_entry__ import QWEN3_0_6B, _hf_cfg
+        from bench import GEOMETRIES
 
-        geom = dict(QWEN3_0_6B, layers=args.layers or QWEN3_0_6B["layers"])
-        return LLM(hf_config=_hf_cfg(**geom), random_weights=True, **kwargs)
+        geom = dict(GEOMETRIES.get(args.geom, QWEN3_0_6B))
+        if args.layers:
+            geom["layers"] = args.layers
+        return LLM(hf_config=_hf_cfg(**geom), random_weights="fast", **kwargs)
     return LLM(args.model, **kwargs)
+
+
+def run_trace(engine, args, rate, seed):
+    """One Poisson trace at ``rate`` req/s; returns (metrics, run stats)."""
+    from nanovllm_tpu import SamplingParams
+
+    random.seed(seed)
+    rng = np.random.default_rng(seed)
+    prompts = [
+        [random.randint(0, 10000) for _ in range(args.random_input_len)]
+        for _ in range(args.num_requests)
+    ]
+    sps = [
+        SamplingParams(temperature=0.6, ignore_eos=True, max_tokens=args.random_output_len)
+        for _ in range(args.num_requests)
+    ]
+    arrival = np.cumsum(rng.exponential(1.0 / rate, args.num_requests))
+
+    metrics: dict[int, RequestMetrics] = {}
+    aborted: set[int] = set()
+    sent = 0
+    pre0 = engine.scheduler.stats.num_preempted
+    start = time.perf_counter()
+    while sent < args.num_requests or not engine.is_finished():
+        now = time.perf_counter()
+        while sent < args.num_requests and now - start >= arrival[sent]:
+            rid = engine.add_request(prompts[sent], sps[sent])
+            metrics[rid] = RequestMetrics(rid, len(prompts[sent]), start + arrival[sent])
+            sent += 1
+        if args.deadline_s > 0:
+            for rid, m in metrics.items():
+                if (rid not in aborted and m.completion_time < 0
+                        and now - m.submission_time > args.deadline_s):
+                    if engine.abort_request(rid):
+                        aborted.add(rid)
+        if engine.is_finished():
+            time.sleep(0.002)
+            continue
+        finished, _ = engine.step()
+        for seq in engine.scheduler.running:
+            if seq.seq_id in metrics and seq.num_cached_tokens >= seq.num_prompt_tokens:
+                metrics[seq.seq_id].record_first_token()
+        for rid, output_ids in finished:
+            m = metrics.get(rid)
+            if m is not None and rid not in aborted:
+                m.record_first_token()
+                m.record_completion(output_ids)
+
+    total_time = time.perf_counter() - start
+    return metrics, {
+        "total_time": total_time,
+        "aborted": len(aborted),
+        "preempted": engine.scheduler.stats.num_preempted - pre0,
+    }
+
+
+def summarize(metrics, run, rate, args):
+    done = [m for m in metrics.values() if m.completion_time > 0]
+    if not done:  # full overload: everything aborted past the deadline
+        row = {
+            "metric": "online_throughput", "value": 0.0, "unit": "tok/s",
+            "vs_baseline": None, "rate_req_s": rate, "completed": 0,
+            "aborted": run["aborted"], "preempted": run["preempted"],
+        }
+        print(f"--- rate {rate} req/s: 0 completed, "
+              f"{run['aborted']} aborted", file=sys.stderr)
+        return row
+    total_in = sum(m.input_len for m in done)
+    total_out = sum(m.output_len for m in done)
+    ttfts = [m.ttft for m in done]
+    tpots = [m.tpot for m in done]
+    lats = [m.latency for m in done]
+    row = {
+        "metric": "online_throughput",
+        "value": round((total_in + total_out) / run["total_time"], 2),
+        "unit": "tok/s",
+        "vs_baseline": None,
+        "rate_req_s": rate,
+        "completed": len(done),
+        "aborted": run["aborted"],
+        "preempted": run["preempted"],
+        "avg_ttft_ms": round(float(np.mean(ttfts)) * 1000, 2),
+        "p50_ttft_ms": round(float(np.percentile(ttfts, 50)) * 1000, 2),
+        "p99_ttft_ms": round(float(np.percentile(ttfts, 99)) * 1000, 2),
+        "avg_tpot_ms": round(float(np.nanmean(tpots)) * 1000, 2),
+        "p99_tpot_ms": round(float(np.nanpercentile(tpots, 99)) * 1000, 2),
+        "avg_latency_s": round(float(np.mean(lats)), 2),
+        "p99_latency_s": round(float(np.percentile(lats, 99)), 2),
+    }
+    print(
+        f"--- rate {rate} req/s: {row['value']} tok/s, "
+        f"TTFT p50 {row['p50_ttft_ms']} / p99 {row['p99_ttft_ms']} ms, "
+        f"TPOT avg {row['avg_tpot_ms']} / p99 {row['p99_tpot_ms']} ms, "
+        f"latency avg {row['avg_latency_s']} / p99 {row['p99_latency_s']} s, "
+        f"aborted {row['aborted']}, preempted {row['preempted']}",
+        file=sys.stderr,
+    )
+    return row
 
 
 def main():
     parser = argparse.ArgumentParser(description="Online serving benchmark.")
     parser.add_argument("--model", type=str, default="random")
+    parser.add_argument("--geom", type=str, default="0.6b")
     parser.add_argument("--num-requests", type=int, default=256)
     parser.add_argument("--request-rate", type=float, default=8.0)
+    parser.add_argument("--sweep", type=str, default="",
+                        help="comma-separated rates; one engine, one warmup")
+    parser.add_argument("--deadline-s", type=float, default=0.0,
+                        help="abort requests older than this (0 = never)")
     parser.add_argument("--max-num-batched-tokens", type=int, default=2048)
     parser.add_argument("--max-num-seqs", type=int, default=512)
     parser.add_argument("--max-model-len", type=int, default=4096)
@@ -93,11 +213,11 @@ def main():
     parser.add_argument("--layers", type=int, default=0, help="override (random model only)")
     parser.add_argument("--quantization", type=str, default="none")
     parser.add_argument("--kv-cache-dtype", type=str, default="auto")
-    parser.add_argument("--json", action="store_true", help="emit one JSON line")
+    parser.add_argument("--dtype", type=str, default="bfloat16")
+    parser.add_argument("--json", action="store_true", help="emit one JSON line per rate")
     args = parser.parse_args()
 
     random.seed(100)
-    np.random.seed(100)
 
     from nanovllm_tpu import SamplingParams
 
@@ -111,66 +231,15 @@ def main():
         use_tqdm=False,
     )
 
-    prompts = [
-        [random.randint(0, 10000) for _ in range(args.random_input_len)]
-        for _ in range(args.num_requests)
-    ]
-    sps = [
-        SamplingParams(temperature=0.6, ignore_eos=True, max_tokens=args.random_output_len)
-        for _ in range(args.num_requests)
-    ]
-    arrival = np.cumsum(np.random.exponential(1.0 / args.request_rate, args.num_requests))
-
-    metrics: dict[int, RequestMetrics] = {}
-    sent = 0
-    start = time.perf_counter()
-    while sent < args.num_requests or not engine.is_finished():
-        now = time.perf_counter()
-        while sent < args.num_requests and now - start >= arrival[sent]:
-            rid = engine.add_request(prompts[sent], sps[sent])
-            metrics[rid] = RequestMetrics(rid, len(prompts[sent]), start + arrival[sent])
-            sent += 1
-        if engine.is_finished():
-            time.sleep(0.002)
-            continue
-        finished, _ = engine.step()
-        for seq in engine.scheduler.running:
-            if seq.seq_id in metrics and seq.num_cached_tokens >= seq.num_prompt_tokens:
-                metrics[seq.seq_id].record_first_token()
-        for rid, output_ids in finished:
-            m = metrics.get(rid)
-            if m is not None:
-                m.record_first_token()
-                m.record_completion(output_ids)
-
-    total_time = time.perf_counter() - start
-    done = [m for m in metrics.values() if m.completion_time > 0]
-    total_in = sum(m.input_len for m in metrics.values())
-    total_out = sum(m.output_len for m in done)
-    throughput = (total_in + total_out) / total_time
-    avg_ttft = float(np.mean([m.ttft for m in done]))
-    avg_tpot = float(np.nanmean([m.tpot for m in done]))
-    avg_latency = float(np.mean([m.latency for m in done]))
-    p50_ttft = float(np.percentile([m.ttft for m in done], 50))
-
-    print("--- Benchmark Results ---", file=sys.stderr)
-    print(f"Total time: {total_time:.2f}s", file=sys.stderr)
-    print(f"Requests: {len(done)}/{args.num_requests}", file=sys.stderr)
-    print(f"Throughput: {throughput:.2f} tokens/s", file=sys.stderr)
-    print(f"Average TTFT: {avg_ttft * 1000:.2f} ms  (p50 {p50_ttft * 1000:.2f} ms)", file=sys.stderr)
-    print(f"Average TPOT: {avg_tpot * 1000:.2f} ms", file=sys.stderr)
-    print(f"Average latency: {avg_latency:.2f} s", file=sys.stderr)
-    if args.json:
-        print(json.dumps({
-            "metric": "online_throughput",
-            "value": round(throughput, 2),
-            "unit": "tok/s",
-            "vs_baseline": None,
-            "avg_ttft_ms": round(avg_ttft * 1000, 2),
-            "p50_ttft_ms": round(p50_ttft * 1000, 2),
-            "avg_tpot_ms": round(avg_tpot * 1000, 2),
-            "avg_latency_s": round(avg_latency, 2),
-        }))
+    rates = (
+        [float(r) for r in args.sweep.split(",")] if args.sweep
+        else [args.request_rate]
+    )
+    for i, rate in enumerate(rates):
+        metrics, run = run_trace(engine, args, rate, seed=100 + i)
+        row = summarize(metrics, run, rate, args)
+        if args.json:
+            print(json.dumps(row))
 
 
 if __name__ == "__main__":
