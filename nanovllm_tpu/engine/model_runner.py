@@ -160,11 +160,6 @@ class ModelRunner:
         self.params = shard_params(params_np, self.mesh)
         del params_np
 
-        if config.num_kvcache_blocks <= 0:
-            config.num_kvcache_blocks = self._derive_num_blocks()
-        assert config.num_kvcache_blocks > 0
-        self.kv_pages = self._alloc_kv_pages(config.num_kvcache_blocks)
-
         # page-table width pinned to its upper bound: the causal-extent fetch
         # clamp makes padded table entries nearly free, and a varying p_pad
         # would multiply the jit bucket count (every new width = a recompile
@@ -179,11 +174,16 @@ class ModelRunner:
         # consumes every group's tokens in the lockstep design — so the
         # feedback operand is replicated too.
         self._s_cap = seq_pad(config.max_num_seqs, config.max_num_seqs)
-        self._fb = self._zeros_global((self.dp, self._s_cap), jnp.int32, P())
-        self._fb_lane: dict[int, int] = {}
         self._step = self._build_step()
         self._burst = self._build_burst()
         self._score = self._build_score()
+
+        if config.num_kvcache_blocks <= 0:
+            config.num_kvcache_blocks = self._derive_num_blocks()
+        assert config.num_kvcache_blocks > 0
+        self.kv_pages = self._alloc_kv_pages(config.num_kvcache_blocks)
+        self._fb = self._zeros_global((self.dp, self._s_cap), jnp.int32, P())
+        self._fb_lane: dict[int, int] = {}
         self._step_counter = 0
         # rbg = XLA's hardware-backed RngBitGenerator: the sampler draws a
         # Gumbel per (lane, vocab) every decode step (~39M values at the
@@ -338,21 +338,106 @@ class ModelRunner:
                 // self.config.kvcache_block_size
             )
             return min(want, 4096)
-        # reserve headroom for activations/logits of the largest bucket
-        # (empirical: ~4 fp32 [S, vocab] tensors live at the sampler peak, and
-        # a 460-block sizing with ~0.8 GB reserve OOM'd intermittently on v5e)
+        budget = int(limit * self.config.gpu_memory_utilization) - in_use
+        # analytic guess (only used to shape the measuring compile, and as
+        # the fallback when the backend cannot report memory analysis):
+        # ~4 fp32 [S, vocab] tensors live at the sampler peak
         t_max = self.config.max_num_batched_tokens
         act_reserve = 4 * t_max * s.hidden_size * _dtype_size(s.dtype) * 8
         logits_reserve = 6 * min(self.config.max_num_seqs, 512) * s.vocab_l * 4
-        fixed_reserve = 512 * (1 << 20)
-        budget = int(limit * self.config.gpu_memory_utilization) - in_use
-        budget -= act_reserve + logits_reserve + fixed_reserve
-        num = budget // block_bytes_per_dev
-        assert num > 0, (
+        guess = (budget - act_reserve - logits_reserve - 512 * (1 << 20)) \
+            // block_bytes_per_dev
+        assert guess > 0, (
             f"no HBM left for KV cache: limit={limit} in_use={in_use} "
             f"block_bytes={block_bytes_per_dev}"
         )
+        extra = self._measured_reserve(int(guess))
+        if extra is None:
+            return int(guess)
+        # measure-then-size (the reference warms up and measures actual peak
+        # before sizing, model_runner.py:290-317 — this is the AOT analogue):
+        # everything beyond params+KV comes from the compiled program's own
+        # accounting; the only allowance left is an allocator-slack margin.
+        margin = max(128 << 20, limit // 100)
+        num = (budget - extra - margin) // block_bytes_per_dev
+        import sys
+
+        print(
+            f"[nanovllm_tpu] KV sizing: limit={limit >> 20}MiB "
+            f"weights+state={in_use >> 20}MiB measured_step_extra={extra >> 20}MiB "
+            f"-> {num} blocks ({num * block_bytes_per_dev >> 20}MiB/dev; "
+            f"analytic guess was {guess})",
+            file=sys.stderr,
+        )
+        assert num > 0, (
+            f"no HBM left for KV cache after measured reserve: limit={limit} "
+            f"in_use={in_use} extra={extra}"
+        )
         return int(num)
+
+    def _measured_reserve(self, num_blocks: int):
+        """Device-memory need of the largest step program beyond params + KV.
+
+        AOT-lowers and compiles the biggest (s_pad, t_pad) layout against a
+        candidate KV shape and reads ``compiled.memory_analysis()``: temps
+        (activations, logits, sampler state) + non-aliased outputs + program
+        code.  Temps do not depend on the KV page count (the cache is a
+        donated argument), so one compile sizes any final num_blocks.
+        Returns None when the backend cannot report memory analysis.
+        """
+        try:
+            bs = self.config.kvcache_block_size
+            s_pad = self._s_cap
+            ps = round_up(s_pad, PREFILL_TILE)
+            t = bucket(max(self.config.max_num_batched_tokens, ps + PREFILL_TILE))
+            layout = (s_pad, ps, t, s_pad, self._p_pad)
+            batch_np, _, segments = prepare_step_batch([], bs, layout)
+            stacked = self._stack_packed([batch_np] * self.dp)
+
+            def sds(shape, dtype, spec):
+                return jax.ShapeDtypeStruct(
+                    shape, dtype, sharding=NamedSharding(self.mesh, spec)
+                )
+
+            packed_sds = PackedBatch(*[
+                sds(getattr(stacked, f).shape, getattr(stacked, f).dtype,
+                    P(DP_AXIS))
+                for f in PackedBatch._fields
+            ])
+            kv_shape = self._kv_page_shape(num_blocks)
+            if self._kv_int8:
+                kv_sds = {
+                    "data": sds(kv_shape, jnp.int8, kv_pspec()),
+                    "scale": sds(
+                        (kv_shape[0], 2 * self.spec.num_kv_heads, kv_shape[1]),
+                        jnp.float32, P(DP_AXIS, TP_AXIS, None),
+                    ),
+                }
+            else:
+                kv_sds = sds(kv_shape, jnp.dtype(self.spec.dtype), kv_pspec())
+            fb_sds = sds((self.dp, self._s_cap), jnp.int32, P())
+            kd_sds = sds((4,), jnp.uint32, P())
+            ctr_sds = sds((), jnp.int32, P())
+            compiled = self._step.lower(
+                self.params, kv_sds, packed_sds, fb_sds, kd_sds, ctr_sds,
+                segments,
+            ).compile()
+            mem = compiled.memory_analysis()
+            return int(
+                mem.temp_size_in_bytes
+                + mem.output_size_in_bytes
+                - mem.alias_size_in_bytes
+                + mem.generated_code_size_in_bytes
+            )
+        except Exception as e:  # pragma: no cover - backend capability probe
+            import sys
+
+            print(
+                f"[nanovllm_tpu] measured KV sizing unavailable ({e!r}); "
+                "using the analytic reserve",
+                file=sys.stderr,
+            )
+            return None
 
     @staticmethod
     def _dp_split(tree):

@@ -608,6 +608,11 @@ def ragged_paged_attention_pallas(
         page_bytes = page_size * kvh2 * hd * kv_pages.dtype.itemsize
         while ring > 2 and ring * npp * page_bytes > 12 * 1024 * 1024:
             ring -= 1
+        # f32 KV pages (4x int8) can exceed the budget even at ring 2 —
+        # narrow the page group too (observed: f32 decode at page 128
+        # overflowed scoped VMEM by 36 KB)
+        while npp > 1 and ring * npp * page_bytes > 12 * 1024 * 1024:
+            npp //= 2
         in_specs = [
             pl.BlockSpec((1, kvh, qg, hd), lambda ti, *_: (ti, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
