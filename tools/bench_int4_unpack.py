@@ -132,7 +132,8 @@ def main():
                 h = x0 + acc * 1e-9
                 outs = []
                 for (wq, s), (k, n) in zip(weights, shapes):
-                    xin = h if k == h0 else jnp.tile(h, (1, k // h0))
+                    xin = (h if k == h0
+                           else jnp.tile(h, (1, -(-k // h0)))[:, :k])
                     if mode == "w8":
                         outs.append(quant_matmul_pallas(
                             xin, wq, s, layer=layer))

@@ -160,7 +160,8 @@ def main():
                 h = x0 + acc * 1e-9
                 outs = []
                 for (wq, s), (k, n) in zip(weights, shapes):
-                    xin = h if k == h0 else jnp.tile(h, (1, k // h0))
+                    xin = (h if k == h0
+                           else jnp.tile(h, (1, -(-k // h0)))[:, :k])
                     if a8 is not None:
                         if a8 == "dyn":          # production path: per-token
                             x_q, sx = quantize_activations(xin)
