@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 GROUP = 128
 
 
-def _qmm_kernel(*refs, n_k, int4: bool, stacked: bool):
+def _qmm_kernel(*refs, n_k, int4: bool, stacked: bool, native4: bool = False):
     # One grid step covers BK = groups_per_tile * GROUP contraction rows.
     # The weight tile is dequantized on the VPU (int8 -> f32 * scale -> bf16,
     # a fraction of the tile's MXU time) and fed to ONE wide dot — a
@@ -51,7 +51,16 @@ def _qmm_kernel(*refs, n_k, int4: bool, stacked: bool):
 
     x = x_ref[...]
     w_raw = w_ref[0] if stacked else w_ref[...]
-    if int4:
+    if int4 and native4:
+        # Reinterpret the packed int8 [BK//2, BN] tile as int4 [BK, BN] in
+        # place: TPU sub-byte sublane packing maps packed row i's low nibble
+        # to int4 row 2i and its high nibble to 2i+1 — exactly the
+        # quantize_weight layout, so the bitcast is free (no shifts, no
+        # int32 temporaries; measured 3x the int32-shift unpack at the 4B
+        # geometry, tools/bench_int4_unpack.py).  Mosaic-only; interpret
+        # mode (CPU tests) takes the shift path below.
+        w = pltpu.bitcast(w_raw, jnp.int4)        # [BK, BN] int4
+    elif int4:
         # unpack two nibbles per byte: low nibble = even k, high = odd k.
         # Shift in int32 — Mosaic cannot legalize arith.shli on int8 vectors.
         packed = w_raw.astype(jnp.int32)          # [BK//2, BN]
@@ -105,7 +114,10 @@ def quant_matmul_pallas(
     n = w_q.shape[-1]
     k_w = w_q.shape[-2] * (2 if int4 else 1)
     assert k_w == k and k % GROUP == 0, (k, k_w)
-    if int4:
+    # pltpu.bitcast (sub-byte reinterpret) has no interpret-mode lowering;
+    # CPU tests take the int32-shift unpack with its halved tiles
+    native4 = int4 and not interpret
+    if int4 and not native4:
         # the nibble unpack runs in int32 (int8 shifts do not legalize in
         # Mosaic), 4x the tile bytes — halve the tile to stay inside the
         # 16 MB scoped-VMEM budget
@@ -125,7 +137,8 @@ def quant_matmul_pallas(
     grid = (t // bt, n // bn, n_k)
     wk_rows = bk // 2 if int4 else bk
 
-    kernel = functools.partial(_qmm_kernel, n_k=n_k, int4=int4, stacked=stacked)
+    kernel = functools.partial(
+        _qmm_kernel, n_k=n_k, int4=int4, stacked=stacked, native4=native4)
     out_shape = jax.ShapeDtypeStruct((t, n), x.dtype)
     scratch = [pltpu.VMEM((bt, bn), jnp.float32)]
     params = pltpu.CompilerParams(

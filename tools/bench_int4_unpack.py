@@ -9,6 +9,18 @@ chain is VPU-heavy.  Variants:
   v_f32   arithmetic unpack in f32: high = floor(b/16), low_u = b - 16*high,
           low = low_u - 16*(low_u >= 8) — no integer shifts at all
   v_f32w  same but wide tiles (1024) — legal if f32 temps fit
+  v_n4    weight stored as a NATIVE jnp.int4 array ([K, N], 0.5 B/elem in
+          HBM); Mosaic's sub-byte load does the unpack, kernel is the plain
+          W8A16 body.  The int4 array is built on device inside the jit (the
+          axon tunnel cannot device_put S4 from host, and cross-jit S4 args
+          trigger a relayout device_put that recurses) — the once-per-call
+          conversion cancels out of the two-iteration-count timing.
+  v_bc    the standard K-packed int8 [K//2, N] weight, reinterpreted inside
+          the kernel via pltpu.bitcast to int4 [K, N]: TPU sub-byte sublane
+          packing maps packed row i's low nibble to int4 row 2i and high to
+          2i+1 — exactly the quantize_weight layout, so the bitcast is free
+          and the weight crosses the jit boundary as plain int8 (no S4
+          relayout issue, unlike v_n4).
   w8 ref  W8A16 at the same shapes (the target to beat)
 
 Usage: python tools/bench_int4_unpack.py [--t 256] [--geom 4b]
@@ -123,11 +135,132 @@ def main():
         )(jnp.asarray(layer, jnp.int32).reshape(1), x, w_q,
           scales.reshape(Lw, n_k, gpt, n))
 
+    def _kern_n4(l_ref, x_ref, w_ref, s_ref, out_ref, acc_ref, *, n_k):
+        """weight ref is native int4; Mosaic's load does the unpack."""
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        w = w_ref[0]                               # [BK, BN] int4
+        bk, bn = w.shape
+        s = s_ref[0, 0]                            # [gpt, BN] f32
+        g = bk // s.shape[0]
+        wf = w.astype(jnp.float32).reshape(s.shape[0], g, bn) * s[:, None, :]
+        acc_ref[...] += lax.dot_general(
+            x_ref[...], wf.reshape(bk, bn).astype(x_ref.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(k == n_k - 1)
+        def _():
+            out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+    def native4_matmul(x, w_n4, scales, layer, bn, bk):
+        t, k = x.shape
+        Lw, _, n = w_n4.shape
+        while n % bn:
+            bn //= 2
+        while k % bk or bk % GROUP:
+            bk //= 2
+        n_k = k // bk
+        gpt = bk // GROUP
+        bt = min(256, t)
+        kernel = functools.partial(_kern_n4, n_k=n_k)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(t // bt, n // bn, n_k),
+            in_specs=[
+                pl.BlockSpec((bt, bk), lambda i, j, kk, l: (i, kk)),
+                pl.BlockSpec((1, bk, bn), lambda i, j, kk, l: (l[0], kk, j)),
+                pl.BlockSpec((1, 1, gpt, bn), lambda i, j, kk, l: (l[0], kk, 0, j)),
+            ],
+            out_specs=pl.BlockSpec((bt, bn), lambda i, j, kk, l: (i, j)),
+            scratch_shapes=[pltpu.VMEM((bt, bn), jnp.float32)],
+        )
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+        )(jnp.asarray(layer, jnp.int32).reshape(1), x, w_n4,
+          scales.reshape(Lw, n_k, gpt, n))
+
+    def _kern_bc(l_ref, x_ref, w_ref, s_ref, out_ref, acc_ref, *, n_k):
+        """weight tile int8 [bk//2, bn] (the existing K-axis nibble packing);
+        pltpu.bitcast reinterprets it as int4 [bk, bn] IN PLACE: sub-byte
+        sublane packing puts the low nibble of packed row i at int4 row 2i
+        and the high nibble at 2i+1 — exactly the quantize_weight layout."""
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        wp = w_ref[0]                              # [bk//2, bn] int8
+        w = pltpu.bitcast(wp, jnp.int4)            # [bk, bn] int4
+        bk, bn = w.shape
+        s = s_ref[0, 0]                            # [gpt, bn] f32
+        g = bk // s.shape[0]
+        wf = w.astype(jnp.float32).reshape(s.shape[0], g, bn) * s[:, None, :]
+        acc_ref[...] += lax.dot_general(
+            x_ref[...], wf.reshape(bk, bn).astype(x_ref.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(k == n_k - 1)
+        def _():
+            out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+    def bitcast_matmul(x, w_q, scales, layer, bn, bk):
+        t, k = x.shape
+        Lw, _, n = w_q.shape     # w_q is the standard K-packed [L, K//2, N]
+        while n % bn:
+            bn //= 2
+        while k % bk or bk % GROUP:
+            bk //= 2
+        n_k = k // bk
+        gpt = bk // GROUP
+        bt = min(256, t)
+        kernel = functools.partial(_kern_bc, n_k=n_k)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(t // bt, n // bn, n_k),
+            in_specs=[
+                pl.BlockSpec((bt, bk), lambda i, j, kk, l: (i, kk)),
+                pl.BlockSpec((1, bk // 2, bn), lambda i, j, kk, l: (l[0], kk, j)),
+                pl.BlockSpec((1, 1, gpt, bn), lambda i, j, kk, l: (l[0], kk, 0, j)),
+            ],
+            out_specs=pl.BlockSpec((bt, bn), lambda i, j, kk, l: (i, j)),
+            scratch_shapes=[pltpu.VMEM((bt, bn), jnp.float32)],
+        )
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+        )(jnp.asarray(layer, jnp.int32).reshape(1), x, w_q,
+          scales.reshape(Lw, n_k, gpt, n))
+
+    def _unpack_to_int4(packed):
+        """[L, K//2, N] packed-nibble int8 -> [L, K, N] jnp.int4 on device."""
+        low = jnp.right_shift(jnp.left_shift(packed.astype(jnp.int32), 28), 28)
+        high = jnp.right_shift(jnp.left_shift(packed.astype(jnp.int32), 24), 28)
+        Lw, k2, n = packed.shape
+        w = jnp.stack([low, high], axis=2).reshape(Lw, 2 * k2, n)
+        return w.astype(jnp.int4)
+
     def make(mode, bn, bk):
         weights = w8 if mode == "w8" else w4
 
         @jax.jit
         def run(x0, weights, steps):
+            if mode == "n4":
+                weights = [(_unpack_to_int4(wq), s) for wq, s in weights]
+
             def body(acc, layer):
                 h = x0 + acc * 1e-9
                 outs = []
@@ -141,6 +274,10 @@ def main():
                         outs.append(quant_matmul_pallas(
                             xin, wq, s, int4=True, layer=layer,
                             block_n=bn, block_k=bk))
+                    elif mode == "n4":
+                        outs.append(native4_matmul(xin, wq, s, layer, bn, bk))
+                    elif mode == "bc":
+                        outs.append(bitcast_matmul(xin, wq, s, layer, bn, bk))
                     else:
                         outs.append(variant_matmul(xin, wq, s, layer, bn, bk))
                 step = sum(jnp.sum(o).astype(jnp.float32) for o in outs)
@@ -155,14 +292,23 @@ def main():
     err = float(jnp.max(jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32))))
     print(f"f32-unpack vs production max abs diff: {err:.2e}")
     assert err < 1e-2, "unpack mismatch"
+    try:
+        got = bitcast_matmul(xt, w4[0][0], w4[0][1], 0, 1024, 1024)
+        err = float(jnp.max(jnp.abs(
+            ref.astype(jnp.float32) - got.astype(jnp.float32))))
+        print(f"bitcast N-pack vs production max abs diff: {err:.2e}")
+        assert err < 1e-2, "bitcast unpack mismatch"
+    except Exception as e:
+        print(f"bitcast correctness check FAILED: {type(e).__name__}: "
+              f"{str(e)[:200]}")
 
     bytes_per_layer_w4 = sum(k * n // 2 + k // GROUP * n * 4 for k, n in shapes)
     cases = [
         ("w8 ref", "w8", 1024, 1024),
         ("v_i32 (prod)", "i32", 512, 512),
-        ("v_f32", "f32", 512, 512),
-        ("v_f32w", "f32", 1024, 1024),
-        ("v_f32w 1024/512", "f32", 1024, 512),
+        ("v_n4 native-int4", "n4", 1024, 1024),
+        ("v_bc bitcast", "bc", 1024, 1024),
+        ("v_bc bitcast", "bc", 2048, 2048),
     ]
     for name, mode, bn, bk in cases:
         try:
