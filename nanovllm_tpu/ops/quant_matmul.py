@@ -108,6 +108,11 @@ def quant_matmul_pallas(
     block_n: int = 1024,
     block_k: int = 1024,
     interpret: bool = False,
+    # force the legacy int32-shift unpack even on TPU — lets the TPU-gated
+    # bit-exactness test (tests/test_int4_tpu.py) compare the bitcast path
+    # against the shift path on real hardware, where the bitcast's sublane
+    # nibble-ordering contract actually executes
+    force_shift: bool = False,
 ) -> jnp.ndarray:
     stacked = layer is not None
     t, k = x.shape
@@ -116,7 +121,7 @@ def quant_matmul_pallas(
     assert k_w == k and k % GROUP == 0, (k, k_w)
     # pltpu.bitcast (sub-byte reinterpret) has no interpret-mode lowering;
     # CPU tests take the int32-shift unpack with its halved tiles
-    native4 = int4 and not interpret
+    native4 = int4 and not interpret and not force_shift
     if int4 and not native4:
         # the nibble unpack runs in int32 (int8 shifts do not legalize in
         # Mosaic), 4x the tile bytes — halve the tile to stay inside the

@@ -25,6 +25,12 @@ def main():
     ckpt, out_path = sys.argv[1], sys.argv[2]
     dp = int(os.environ.get("NVT_DP", "2"))
     tp = int(os.environ.get("NVT_TP", "1"))
+    # "pallas" runs the production kernels (ragged paged attention, DMA KV
+    # write, fused sampler) in interpret mode on the CPU backend — the same
+    # approach as tests/test_tp_pallas.py, now across OS processes
+    impl = os.environ.get("NVT_IMPL", "ref")
+    quant = os.environ.get("NVT_QUANT", "none")
+    kv = os.environ.get("NVT_KV", "auto")
 
     # the ambient environment pins JAX_PLATFORMS=axon (TPU tunnel) and
     # overrides plain env vars; force the CPU backend through jax.config
@@ -48,7 +54,9 @@ def main():
         max_num_seqs=8,
         kvcache_block_size=16,
         num_kvcache_blocks=32,
-        attention_impl="ref",
+        attention_impl=impl,
+        quantization=quant,
+        kv_cache_dtype=kv,
         decode_burst=4,
     )
     import jax
