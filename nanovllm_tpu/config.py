@@ -90,6 +90,12 @@ class Config:
     # graph up front (model_runner.py:686-691).  None = auto (on for TPU
     # unless enforce_eager).
     warmup_buckets: bool | None = None
+    # Persistent XLA compilation cache directory.  "auto" (default) uses
+    # $NVT_CACHE_DIR or ~/.cache/nanovllm_tpu/xla when no cache dir is
+    # configured yet; None/"" disables.  The warmup ladder compiles its
+    # programs in PARALLEL and hands them to the serial first-execution loop
+    # through this cache — without it every program would compile twice.
+    compilation_cache_dir: str | None = "auto"
     # Multi-host: call jax.distributed.initialize() (reads COORDINATOR_ADDRESS
     # etc. from the environment).  Every host runs the same engine script with
     # an identical request stream; the pure-Python scheduler is deterministic,

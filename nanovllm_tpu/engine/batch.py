@@ -114,14 +114,32 @@ def _written_pages(seq: Sequence, block_size: int) -> list[tuple[int, int]]:
     ]
 
 
+def lane_ladder(s_cap: int) -> list[int]:
+    """Distinct decode-lane paddings for an engine with ``s_cap`` max seqs.
+
+    Round 1-2 used a two-value ladder {8, s_cap} on the argument that padded
+    lanes are nearly free.  That holds when decode is KV-fetch-bound (0.6B:
+    attention skips inert lanes), but at flagship geometries the quantized
+    matmuls are COMPUTE-bound at the padded row count: a 14B decode step
+    with ~60 live lanes padded to 256 spends ~34 ms of MXU time on 4/5
+    empty rows (measured: burst iterations 74 ms vs a 17.6 ms byte floor).
+    A mid tier at ~s_cap/4 cuts the padded matmul work 4x for the
+    low-occupancy regime that KV capacity forces at 8B/14B, at the price of
+    ~7 more compiled programs (parallel-compiled at init)."""
+    vals = {8, bucket(max(s_cap, 8))}
+    if s_cap >= 64:
+        vals.add(bucket(max(s_cap // 4, 8)))
+    return sorted(vals)
+
+
 def seq_pad(n: int, s_cap: int | None) -> int:
-    """Two-value sequence-lane ladder: 8, else the engine's max.  Every
-    distinct lane count is a separate compiled program, and padded lanes are
-    nearly free (inert attention rows skip, linears are weight-bound), so a
-    coarse ladder wins."""
+    """Smallest lane-ladder padding holding ``n`` sequence lanes."""
     if s_cap is None:
         return bucket(n)
-    return 8 if n <= 8 else bucket(max(s_cap, n))
+    for v in lane_ladder(s_cap):
+        if n <= v:
+            return v
+    return bucket(max(s_cap, n))
 
 
 def step_layout(
@@ -137,7 +155,7 @@ def step_layout(
       * the prefill segment always extends to the padded buffer end
         (p_end = t_pad; tail tiles are inert), removing the tile count from
         the cache key,
-      * s_pad uses the two-value ladder of ``seq_pad``.
+      * s_pad uses the lane ladder of ``seq_pad`` (8 / ~cap/4 / cap).
 
     Net cache key: (s_pad, t_pad) — a handful of programs per engine config
     (each first execution costs seconds of compile + device load)."""

@@ -14,6 +14,7 @@ model_runner.py:87-715) with one Python process driving a ``Mesh(("tp",))``:
 """
 
 import functools
+import os
 import time
 
 import jax
@@ -28,6 +29,7 @@ from nanovllm_tpu.constants import PREFILL_TILE, bucket, round_up
 from nanovllm_tpu.engine.batch import (
     PackedBatch,
     StepBatch,
+    lane_ladder,
     merge_layouts,
     prepare_step_batch,
     seq_pad,
@@ -117,7 +119,30 @@ class StepHandle(NamedTuple):
 
 class ModelRunner:
     def __init__(self, config: Config, devices=None):
+        import sys
+
+        t_init0 = time.perf_counter()
+        marks: list[tuple[str, float]] = []
+
+        def mark(name):
+            marks.append((name, time.perf_counter()))
+
         self.config = config
+        if config.compilation_cache_dir:
+            import os
+
+            d = config.compilation_cache_dir
+            if d == "auto":
+                d = os.environ.get(
+                    "NVT_CACHE_DIR",
+                    os.path.expanduser("~/.cache/nanovllm_tpu/xla"),
+                )
+            if jax.config.jax_compilation_cache_dir is None:
+                os.makedirs(d, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", d)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1.0
+                )
         if config.distributed:
             _init_distributed()
         self.spec = ModelSpec.from_hf(
@@ -126,6 +151,24 @@ class ModelRunner:
         self.dp = config.data_parallel_size
         self.mesh = make_mesh(config.tensor_parallel_size, devices, self.dp)
         self.attn_impl = self._pick_attn_impl()
+
+        if jax.default_backend() == "tpu":
+            # Establish the device->host transfer channel in the background:
+            # the tunneled backend's FIRST D2H fetch pays a one-time stall
+            # (measured 14-111s; ~98s typical in this environment) that
+            # block_until_ready does not absorb.  Overlapping it with host
+            # weight init + the parallel compile phase removes it from the
+            # cold-start critical path; anything that fetches earlier simply
+            # blocks until the channel is up.
+            import threading
+
+            def _warm_d2h():
+                try:
+                    jax.device_get(jnp.zeros((8,), jnp.int32))
+                except Exception:  # pragma: no cover - best-effort warm
+                    pass
+
+            threading.Thread(target=_warm_d2h, daemon=True).start()
 
         lm_head_int8 = (
             config.quantization != "none"
@@ -156,9 +199,19 @@ class ModelRunner:
                 config.model, self.spec, config.quantization,
                 lm_head_int8=lm_head_int8,
             )
+        mark("host_params")  # random init / lazy load + host quantization
         self._pspecs = pspecs_for(params_np)
         self.params = shard_params(params_np, self.mesh)
         del params_np
+        # Block on the async H2D transfers here: letting them float into the
+        # later phases measured far WORSE on the tunneled backend (kv_alloc
+        # stalled 282s when the params transfer, the D2H channel warm, and
+        # the zeros program overlapped — the tunnel serializes concurrent
+        # traffic badly).  The explicit block keeps the phases clean and is
+        # the fastest ordering measured; the D2H channel warm thread still
+        # overlaps this window.
+        jax.block_until_ready(self.params)
+        mark("h2d_params")
 
         # page-table width pinned to its upper bound: the causal-extent fetch
         # clamp makes padded table entries nearly free, and a varying p_pad
@@ -177,11 +230,15 @@ class ModelRunner:
         self._step = self._build_step()
         self._burst = self._build_burst()
         self._score = self._build_score()
+        mark("build")
 
         if config.num_kvcache_blocks <= 0:
             config.num_kvcache_blocks = self._derive_num_blocks()
         assert config.num_kvcache_blocks > 0
+        mark("kv_sizing")  # includes the measure-then-size AOT compile
         self.kv_pages = self._alloc_kv_pages(config.num_kvcache_blocks)
+        jax.block_until_ready(self.kv_pages)
+        mark("kv_alloc")
         self._fb = self._zeros_global((self.dp, self._s_cap), jnp.int32, P())
         self._fb_lane: dict[int, int] = {}
         self._step_counter = 0
@@ -203,6 +260,17 @@ class ModelRunner:
             warm = jax.default_backend() == "tpu" and not config.enforce_eager
         if warm:
             self.warmup_buckets()
+            mark("warmup")
+        prev = t_init0
+        parts = []
+        for name, t in marks:
+            parts.append(f"{name}={t - prev:.1f}s")
+            prev = t
+        print(
+            f"[nanovllm_tpu] init phases: {' '.join(parts)} "
+            f"(total {time.perf_counter() - t_init0:.1f}s)",
+            file=sys.stderr,
+        )
 
     # -- setup ---------------------------------------------------------------
 
@@ -386,38 +454,12 @@ class ModelRunner:
         Returns None when the backend cannot report memory analysis.
         """
         try:
-            bs = self.config.kvcache_block_size
             s_pad = self._s_cap
             ps = round_up(s_pad, PREFILL_TILE)
             t = bucket(max(self.config.max_num_batched_tokens, ps + PREFILL_TILE))
             layout = (s_pad, ps, t, s_pad, self._p_pad)
-            batch_np, _, segments = prepare_step_batch([], bs, layout)
-            stacked = self._stack_packed([batch_np] * self.dp)
-
-            def sds(shape, dtype, spec):
-                return jax.ShapeDtypeStruct(
-                    shape, dtype, sharding=NamedSharding(self.mesh, spec)
-                )
-
-            packed_sds = PackedBatch(*[
-                sds(getattr(stacked, f).shape, getattr(stacked, f).dtype,
-                    P(DP_AXIS))
-                for f in PackedBatch._fields
-            ])
-            kv_shape = self._kv_page_shape(num_blocks)
-            if self._kv_int8:
-                kv_sds = {
-                    "data": sds(kv_shape, jnp.int8, kv_pspec()),
-                    "scale": sds(
-                        (kv_shape[0], 2 * self.spec.num_kv_heads, kv_shape[1]),
-                        jnp.float32, P(DP_AXIS, TP_AXIS, None),
-                    ),
-                }
-            else:
-                kv_sds = sds(kv_shape, jnp.dtype(self.spec.dtype), kv_pspec())
-            fb_sds = sds((self.dp, self._s_cap), jnp.int32, P())
-            kd_sds = sds((4,), jnp.uint32, P())
-            ctr_sds = sds((), jnp.int32, P())
+            (kv_sds, packed_sds, fb_sds, kd_sds, ctr_sds), segments = \
+                self._abstract_step_operands(layout, num_blocks)
             compiled = self._step.lower(
                 self.params, kv_sds, packed_sds, fb_sds, kd_sds, ctr_sds,
                 segments,
@@ -706,6 +748,132 @@ class ModelRunner:
             seqs.append(p)
         return seqs
 
+    def _abstract_step_operands(self, layout, num_blocks: int | None = None):
+        """ShapeDtypeStructs matching a real step call under ``layout``
+        (shared helper of _measured_reserve and the parallel pre-compile).
+
+        The sds shardings must reproduce the CALL-TIME jit cache key exactly,
+        or the AOT compile seeds a cache entry the real call never hits (and
+        every program compiles twice — measured as a 2.7x warmup regression
+        at the 8B geometry).  Single-host, ``_put_batch`` produces
+        UNCOMMITTED arrays (plain jnp.asarray), which key as unspecified
+        shardings — so batch operands get NO sharding here.  kv/fb come from
+        ``_zeros_global`` (committed NamedSharding) and keep theirs.
+        Multi-host, ``_put_batch`` commits via make_array_from_callback, so
+        everything carries its NamedSharding.
+        """
+        if num_blocks is None:
+            num_blocks = self.config.num_kvcache_blocks
+        bs = self.config.kvcache_block_size
+        batch_np, _, segments = prepare_step_batch([], bs, layout)
+        stacked = self._stack_packed([batch_np] * self.dp)
+        multi = jax.process_count() > 1
+
+        def sds(shape, dtype, spec):
+            return jax.ShapeDtypeStruct(
+                shape, dtype, sharding=NamedSharding(self.mesh, spec)
+            )
+
+        def sds_put(shape, dtype, spec):
+            """Operand that the real call feeds through _put_batch."""
+            if multi:
+                return sds(shape, dtype, spec)
+            return jax.ShapeDtypeStruct(shape, dtype)
+
+        packed_sds = PackedBatch(*[
+            sds_put(getattr(stacked, f).shape, getattr(stacked, f).dtype,
+                    P(DP_AXIS))
+            for f in PackedBatch._fields
+        ])
+        kv_shape = self._kv_page_shape(num_blocks)
+        if self._kv_int8:
+            kv_sds = {
+                "data": sds(kv_shape, jnp.int8, kv_pspec()),
+                "scale": sds(
+                    (kv_shape[0], 2 * self.spec.num_kv_heads, kv_shape[1]),
+                    jnp.float32, P(DP_AXIS, TP_AXIS, None),
+                ),
+            }
+        else:
+            kv_sds = sds(kv_shape, jnp.dtype(self.spec.dtype), kv_pspec())
+        fb_sds = sds((self.dp, self._s_cap), jnp.int32, P())
+        kd_sds = sds_put((4,), jnp.uint32, P())
+        ctr_sds = sds_put((), jnp.int32, P())
+        return (kv_sds, packed_sds, fb_sds, kd_sds, ctr_sds), segments
+
+    def _precompile_parallel(self, layouts, w: int) -> float:
+        """Compile every warmup program concurrently (thread pool).
+
+        ``lower().compile()`` populates the PERSISTENT compilation cache (not
+        the jit call cache), so the serial first-execution loop afterwards
+        deserializes instead of compiling.  Compilation runs backend-side
+        (remote through the axon tunnel), so threads spend their time waiting
+        on RPC — measured 584s of serial compiles at the 8B geometry for 15
+        programs; parallel brings the compile phase down to roughly the
+        slowest single program.  Failures fall back silently to the serial
+        path (the executing loop compiles whatever is missing).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        t0 = time.perf_counter()
+        params_sds = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding),
+            self.params,
+        )
+
+        def compile_step(layout):
+            (kv_sds, packed_sds, fb_sds, kd_sds, ctr_sds), segments = \
+                self._abstract_step_operands(layout)
+            self._step.lower(
+                params_sds, kv_sds, packed_sds, fb_sds, kd_sds, ctr_sds,
+                segments,
+            ).compile()
+
+        def compile_burst(s):
+            multi = jax.process_count() > 1
+
+            def sds_np(a):
+                if multi:  # mirror _put_batch commitment (see
+                    #          _abstract_step_operands docstring)
+                    return jax.ShapeDtypeStruct(
+                        a.shape, a.dtype,
+                        sharding=NamedSharding(self.mesh, P(DP_AXIS)),
+                    )
+                return jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+            meta_sds = BurstMeta(
+                tp=sds_np(np.zeros((self.dp, 3, s), np.int32)),
+                pages=sds_np(np.zeros((self.dp, s, self._p_pad), np.int32)),
+                temps=sds_np(np.zeros((self.dp, s), np.float32)),
+            )
+            (kv_sds, _, fb_sds, kd_sds, ctr_sds), _ = \
+                self._abstract_step_operands(
+                    (s, s, s, s, self._p_pad))
+            self._burst.lower(
+                params_sds, kv_sds, meta_sds, fb_sds, kd_sds, ctr_sds, w,
+            ).compile()
+
+        jobs = [(compile_step, l) for l in layouts]
+        if w >= 2:
+            jobs += [(compile_burst, s) for s in sorted({l[3] for l in layouts})]
+        errs = []
+        with ThreadPoolExecutor(max_workers=min(8, len(jobs))) as pool:
+            futs = [pool.submit(fn, arg) for fn, arg in jobs]
+            for f in futs:
+                try:
+                    f.result()
+                except Exception as e:  # pragma: no cover - fallback probe
+                    errs.append(e)
+        if errs:
+            import sys
+
+            print(
+                f"[nanovllm_tpu] parallel pre-compile: {len(errs)}/{len(jobs)}"
+                f" failed ({errs[0]!r}); serial warmup will compile them",
+                file=sys.stderr,
+            )
+        return time.perf_counter() - t0
+
     def warmup_buckets(self) -> None:
         """First-execute the whole step/burst program ladder.
 
@@ -714,6 +882,9 @@ class ModelRunner:
         tunneled backend) — paying that mid-serving wrecks tail latency.
         This is the analogue of the reference capturing every CUDA decode
         graph at init (reference model_runner.py:640-715, bs ladder :686).
+        Compilation of all programs runs first, in parallel (see
+        _precompile_parallel); the serial loop below then pays only
+        executable load + first execution per program.
         Warmup batches carry REAL work (live slots, real page tables,
         positive kv_lens spanning the whole token segment): executing a
         program with inert data (all slots -1, kv_len 0 — every kernel loop
@@ -727,7 +898,7 @@ class ModelRunner:
 
         bs = self.config.kvcache_block_size
         s_cap = self.config.max_num_seqs
-        s_pads = sorted({seq_pad(1, s_cap), seq_pad(s_cap, s_cap)})
+        s_pads = lane_ladder(s_cap)
         t_max = bucket(max(self.config.max_num_batched_tokens, PREFILL_TILE))
         layouts = []
         for s in s_pads:
@@ -737,6 +908,17 @@ class ModelRunner:
             while t <= t_max:
                 layouts.append((s, ps, t, s, self._p_pad))  # prefill/mixed
                 t *= 2
+        w_pow = self.config.decode_burst
+        if w_pow >= 2:
+            w_pow = 1 << (w_pow.bit_length() - 1)
+        # The parallel phase runs even on a warm persistent cache: its
+        # lower().compile() calls seed the jit executable cache directly, so
+        # the serial loop below is near-free (3-8s for 15 programs).  A
+        # skip-when-warm marker was tried and measured WORSE (the serial jit
+        # calls then pay trace + deserialize one by one: 149s vs 44+5s warm
+        # at 0.6B) — concurrent re-trace + cache-deserialize is the fastest
+        # known path for both cold and warm starts.
+        t_compile = self._precompile_parallel(layouts, w_pow)
         t0 = time.perf_counter()
         for layout in layouts:
             seqs = self._warmup_seqs(layout)
@@ -748,9 +930,8 @@ class ModelRunner:
                 self._key_data, self._ctr(0), segments,
             )
             jax.block_until_ready(tokens)
-        w = self.config.decode_burst
+        w = w_pow
         if w >= 2:
-            w = 1 << (w.bit_length() - 1)
             for s in s_pads:
                 tp = np.zeros((self.dp, 3, s), np.int32)
                 tp[:, 1] = -1  # pad lanes inert
@@ -774,8 +955,9 @@ class ModelRunner:
         jax.device_get(tokens)
         print(
             f"[nanovllm_tpu] warmed {len(layouts)} step + "
-            f"{len(s_pads) if w >= 2 else 0} burst programs "
-            f"in {time.perf_counter() - t0:.1f}s",
+            f"{len(s_pads) if w >= 2 else 0} burst programs: "
+            f"parallel compile {t_compile:.1f}s + "
+            f"load/first-run {time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
         )
 

