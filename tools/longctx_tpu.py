@@ -1,0 +1,119 @@
+"""Exercise the advertised long-context envelope on the real chip.
+
+VERDICT round-2 weak #8 / item 8: `max_model_len` defaults to 40960
+(reference parity, config.py) but nothing past 8k context had ever touched
+the chip — page-table width `_p_pad`, the causal-extent prefill walk, and
+the decode kernel's VMEM envelope at large `p_pad` were untested at the
+advertised lengths.  This probe runs 16k-32k contexts end-to-end:
+
+  * N prompts of --ctx random tokens each, chunked prefill (budget 8192),
+    greedy decode of --decode tokens PAST the prompt (page growth beyond
+    the 16k/30k boundary),
+  * reports prefill tok/s and decode ms/iter at that context from the
+    NVT_STATS cells,
+  * `--check` reruns the identical workload through the jnp oracle
+    attention (impl=ref, same chip) and asserts greedy token equality —
+    kernel-vs-oracle correctness at long context, on hardware.
+
+Usage: NVT_STATS=1 python tools/longctx_tpu.py --ctx 16384 [--check]
+"""
+
+import argparse
+import gc
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(geom, args, impl):
+    from nanovllm_tpu import LLM, SamplingParams
+
+    llm = LLM(
+        hf_config=geom,
+        random_weights="fast",
+        dtype="bfloat16",
+        quantization=args.quant,
+        kv_cache_dtype=args.kv,
+        max_model_len=args.max_model_len,
+        max_num_batched_tokens=8192,
+        max_num_seqs=8,
+        chunked_prefill=True,
+        attention_impl=impl,
+    )
+    random.seed(7)
+    prompts = [
+        [random.randint(0, 10000) for _ in range(args.ctx + 37 * i)]
+        for i in range(args.seqs)
+    ]
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=args.decode, ignore_eos=True
+    )
+    t0 = time.perf_counter()
+    outs = llm.generate(prompts, sp, use_tqdm=False)
+    dt = time.perf_counter() - t0
+    toks = [o["token_ids"] for o in outs]
+    cells = {
+        (k, p): (c.seconds, c.tokens, c.count)
+        for (k, p), c in llm.stats.cells.items()
+    }
+    del llm
+    gc.collect()
+    return toks, dt, cells
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--geom", default="0.6b")
+    ap.add_argument("--quant", default="int8")
+    ap.add_argument("--kv", default="int8")
+    ap.add_argument("--ctx", type=int, default=16384)
+    ap.add_argument("--decode", type=int, default=256)
+    ap.add_argument("--seqs", type=int, default=4)
+    ap.add_argument("--max-model-len", type=int, default=32768)
+    ap.add_argument("--check", action="store_true",
+                    help="rerun through the jnp oracle and assert equality")
+    args = ap.parse_args()
+    assert args.ctx + args.decode <= args.max_model_len
+
+    os.environ.setdefault("NVT_STATS", "1")
+    from bench import GEOMETRIES
+    from __graft_entry__ import QWEN3_0_6B, _hf_cfg
+
+    g = dict(GEOMETRIES.get(args.geom, QWEN3_0_6B))
+    geom = _hf_cfg(**g, max_pos=args.max_model_len)
+
+    toks, dt, cells = run(geom, args, "pallas")
+    prefill_s = sum(cells.get((k, "device"), (0, 0, 0))[0]
+                    for k in ("prefill", "mixed"))
+    prefill_tok = sum(cells.get((k, "device"), (0, 0, 0))[1]
+                      for k in ("prefill", "mixed"))
+    dec_s, dec_tok, _ = cells.get(("decode", "device"), (0, 0, 0))
+    b_s, b_tok, _ = cells.get(("burst", "device"), (0, 0, 0))
+    n_dec_tok = dec_tok + b_tok
+    dec_iters = (dec_tok + b_tok) / max(args.seqs, 1)
+    out = {
+        "metric": "long_context",
+        "ctx": args.ctx,
+        "decode_past": args.decode,
+        "seqs": args.seqs,
+        "wall_s": round(dt, 1),
+        "prefill_tok_s": round(prefill_tok / prefill_s, 1) if prefill_s else None,
+        "decode_ms_per_iter": round((dec_s + b_s) / dec_iters * 1e3, 2)
+        if dec_iters else None,
+        "decode_tok_s": round(n_dec_tok / (dec_s + b_s), 1)
+        if (dec_s + b_s) else None,
+    }
+    if args.check:
+        ref_toks, _, _ = run(geom, args, "ref")
+        mism = sum(a != b for a, b in zip(toks, ref_toks))
+        out["oracle_token_equal"] = mism == 0
+        assert mism == 0, f"{mism}/{len(toks)} sequences differ vs oracle"
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
