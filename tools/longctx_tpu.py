@@ -11,9 +11,14 @@ advertised lengths.  This probe runs 16k-32k contexts end-to-end:
     the 16k/30k boundary),
   * reports prefill tok/s and decode ms/iter at that context from the
     NVT_STATS cells,
-  * `--check` reruns the identical workload through the jnp oracle
-    attention (impl=ref, same chip) and asserts greedy token equality —
-    kernel-vs-oracle correctness at long context, on hardware.
+  * `--check` reruns the identical workload with a DIFFERENT prefill
+    chunking (budget 2048 vs 8192) and asserts greedy token equality:
+    chunk-count invariance exercises the causal-extent prefill walk, the
+    partial-page resume path, and page growth at 16k+ from two different
+    step decompositions.  (The jnp oracle cannot run at these lengths —
+    it is O(T x padded_ctx) memory by design, 1.1 TB at 16k/prefill 8192;
+    kernel-vs-oracle equality is covered on-chip up to 4k by
+    tools/stress_tpu.py and at small scale by tests/test_kernels.py.)
 
 Usage: NVT_STATS=1 python tools/longctx_tpu.py --ctx 16384 [--check]
 """
@@ -29,7 +34,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(geom, args, impl):
+def run(geom, args, impl, budget=8192):
     from nanovllm_tpu import LLM, SamplingParams
 
     llm = LLM(
@@ -39,7 +44,7 @@ def run(geom, args, impl):
         quantization=args.quant,
         kv_cache_dtype=args.kv,
         max_model_len=args.max_model_len,
-        max_num_batched_tokens=8192,
+        max_num_batched_tokens=budget,
         max_num_seqs=8,
         chunked_prefill=True,
         attention_impl=impl,
@@ -87,32 +92,37 @@ def main():
     geom = _hf_cfg(**g, max_pos=args.max_model_len)
 
     toks, dt, cells = run(geom, args, "pallas")
-    prefill_s = sum(cells.get((k, "device"), (0, 0, 0))[0]
-                    for k in ("prefill", "mixed"))
-    prefill_tok = sum(cells.get((k, "device"), (0, 0, 0))[1]
-                      for k in ("prefill", "mixed"))
-    dec_s, dec_tok, _ = cells.get(("decode", "device"), (0, 0, 0))
-    b_s, b_tok, _ = cells.get(("burst", "device"), (0, 0, 0))
-    n_dec_tok = dec_tok + b_tok
-    dec_iters = (dec_tok + b_tok) / max(args.seqs, 1)
+    # NOTE: EngineStats token counts are SAMPLED rows (not processed chunk
+    # tokens), so prefill throughput must come from wall time: decode
+    # iterations are timed from the decode/burst device cells, and the
+    # prefill phase is the remaining wall.
+    dec_s, _, _ = cells.get(("decode", "device"), (0, 0, 0))
+    b_s, _, _ = cells.get(("burst", "device"), (0, 0, 0))
+    dec_iters = args.decode  # every decode step advances all seqs together
+    prompt_tokens = args.seqs * args.ctx + 37 * args.seqs * (args.seqs - 1) // 2
+    decode_wall = dec_s + b_s
     out = {
         "metric": "long_context",
         "ctx": args.ctx,
         "decode_past": args.decode,
         "seqs": args.seqs,
         "wall_s": round(dt, 1),
-        "prefill_tok_s": round(prefill_tok / prefill_s, 1) if prefill_s else None,
-        "decode_ms_per_iter": round((dec_s + b_s) / dec_iters * 1e3, 2)
+        "prompt_tokens": prompt_tokens,
+        "prefill_tok_s": round(prompt_tokens / max(dt - decode_wall, 1e-6), 1),
+        "decode_ms_per_iter": round(decode_wall / dec_iters * 1e3, 2)
         if dec_iters else None,
-        "decode_tok_s": round(n_dec_tok / (dec_s + b_s), 1)
-        if (dec_s + b_s) else None,
     }
-    if args.check:
-        ref_toks, _, _ = run(geom, args, "ref")
-        mism = sum(a != b for a, b in zip(toks, ref_toks))
-        out["oracle_token_equal"] = mism == 0
-        assert mism == 0, f"{mism}/{len(toks)} sequences differ vs oracle"
     print(json.dumps(out))
+    if args.check:
+        alt_toks, _, _ = run(geom, args, "pallas", budget=2048)
+        mism = sum(a != b for a, b in zip(toks, alt_toks))
+        print(json.dumps({
+            "metric": "long_context_chunk_invariance",
+            "ctx": args.ctx,
+            "budgets": [8192, 2048],
+            "token_equal": mism == 0,
+        }))
+        assert mism == 0, f"{mism}/{len(toks)} seqs differ across chunkings"
 
 
 if __name__ == "__main__":
