@@ -128,7 +128,11 @@ def lane_ladder(s_cap: int) -> list[int]:
     ~7 more compiled programs (parallel-compiled at init)."""
     vals = {8, bucket(max(s_cap, 8))}
     if s_cap >= 64:
+        # cap/4 serves the KV-capacity-bound flagship regime (14B runs
+        # ~60 live lanes), cap/2 the mid-occupancy one (8B runs ~80-100
+        # lanes, which a {8, 64, 256} ladder would round all the way up)
         vals.add(bucket(max(s_cap // 4, 8)))
+        vals.add(bucket(max(s_cap // 2, 8)))
     return sorted(vals)
 
 
