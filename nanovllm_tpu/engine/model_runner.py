@@ -292,27 +292,27 @@ class ModelRunner:
         return impl
 
     @property
-    def _kv_data_heads(self) -> int:
-        """Head rows of the data plane: KV4 packs K and V of a head into one
-        byte, so the data plane has kvh rows against the scale plane's 2kvh."""
-        h2 = 2 * self.spec.kv_heads_l * self.spec.tp_size  # global 2kvh
-        return h2 // 2 if self.config.kv_cache_dtype == "int4" else h2
+    def _kv_planes(self) -> int:
+        """Data planes per logical page: split-plane caches (bf16/int8) keep
+        K in plane 2*gp and V in 2*gp + 1; KV4 packs K and V of a head into
+        one byte — a single plane (ops/kv_cache.py)."""
+        return 1 if self.config.kv_cache_dtype == "int4" else 2
 
     def _kv_page_shape(self, num_blocks: int):
-        """[dp * L * blocks, page, 2kvh, hd] — blocks are PER dp group.
+        """[planes * dp * L * blocks, page, kvh * hd] — blocks are PER dp
+        group.
 
-        dp is folded into the leading flat page axis (group g owns rows
-        [g*LP, (g+1)*LP)) so each shard_map local is exactly the 4-D cache
-        the kernels expect — a 5-D [dp, LP, ...] layout costs a full-cache
-        HBM copy per step (same measured failure as the [L, P, ...] layout,
-        see ops/kv_cache.py).
+        dp is folded into the leading flat plane axis (group g owns rows
+        [g*planes*LP, (g+1)*planes*LP)) so each shard_map local is exactly
+        the 3-D cache the kernels expect — a [dp, LP, ...] layout costs a
+        full-cache HBM copy per step, and so does a per-step [.., kvh, hd]
+        -> [.., kvh*hd] reshape (XLA tiles HBM arrays; see ops/kv_cache.py).
         """
         s = self.spec
         return (
-            self.dp * s.num_layers * num_blocks,
+            self._kv_planes * self.dp * s.num_layers * num_blocks,
             self.config.kvcache_block_size,
-            self._kv_data_heads,
-            s.head_dim,
+            s.kv_heads_l * s.tp_size * s.head_dim,  # global kvh * hd
         )
 
     @property
@@ -343,12 +343,13 @@ class ModelRunner:
         if self._kv_int8:
             return {
                 "data": self._zeros_global(shape, jnp.int8, kv_pspec()),
-                # [dp*LP, 2kvh, page]: page on lanes (a [.., page, 2kvh]
-                # layout lane-pads 2kvh up to 128 = 8x HBM blowup);
-                # ALWAYS 2kvh rows — KV4's data plane halves its head
-                # axis (K/V share a byte) but scales stay per K/V head
+                # [dp*LP, 2kvh, page]: ONE scale plane per logical page
+                # with page on lanes (a [.., page, 2kvh] layout lane-pads
+                # 2kvh up to 128 = 8x HBM blowup); ALWAYS 2kvh rows — K and
+                # V each get a scale row whatever the data-plane packing
                 "scale": self._zeros_global(
-                    (shape[0], 2 * self.spec.num_kv_heads, shape[1]),
+                    (shape[0] // self._kv_planes,
+                     2 * self.spec.num_kv_heads, shape[1]),
                     jnp.float32,
                     P(DP_AXIS, TP_AXIS, None),
                 ),
@@ -790,7 +791,8 @@ class ModelRunner:
             kv_sds = {
                 "data": sds(kv_shape, jnp.int8, kv_pspec()),
                 "scale": sds(
-                    (kv_shape[0], 2 * self.spec.num_kv_heads, kv_shape[1]),
+                    (kv_shape[0] // self._kv_planes,
+                     2 * self.spec.num_kv_heads, kv_shape[1]),
                     jnp.float32, P(DP_AXIS, TP_AXIS, None),
                 ),
             }

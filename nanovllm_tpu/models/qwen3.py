@@ -170,7 +170,7 @@ def decoder_layer(x, layer_params, kv_pages, layer, pages_per_layer, batch,
                   cos, sin, segments, spec: ModelSpec, axis_name, attn_impl):
     """One pre-norm decoder layer on local shards (reference qwen3.py:278-377).
 
-    ``kv_pages`` is the FULL flat cache [L*pages_per_layer, 2kvh, page, hd];
+    ``kv_pages`` is the FULL flat cache [2*L*pages_per_layer, page, kvh*hd];
     the layer writes via an in-place dim-0 scatter and attention gathers its
     pages from the same array (never slicing a whole layer in or out — see
     ops/kv_cache.py for why this layout is load-bearing for peak HBM).
@@ -221,8 +221,12 @@ def forward_local(params, kv_pages, batch, segments, spec: ModelSpec, axis_name,
 
     Returns (hidden [T, H], new_kv_pages).
     """
-    kv_data = kv_pages["data"] if isinstance(kv_pages, dict) else kv_pages
-    pages_per_layer = kv_data.shape[0] // spec.num_layers
+    # logical pages per layer: the scale plane has one plane per logical
+    # page; the bf16 split-plane cache has two (K/V) — see ops/kv_cache.py
+    if isinstance(kv_pages, dict):
+        pages_per_layer = kv_pages["scale"].shape[0] // spec.num_layers
+    else:
+        pages_per_layer = kv_pages.shape[0] // (2 * spec.num_layers)
     x = embed_lookup(params["embed"], batch.token_ids, spec, axis_name)
     cos, sin = rope_cos_sin(batch.positions, spec.head_dim, spec.rope_theta)
 

@@ -35,7 +35,7 @@ MASK_VALUE = -1e30  # finite: keeps fully-masked (padding) rows NaN-free
 
 def ragged_paged_attention_ref(
     q: jnp.ndarray,            # [T, nh, hd]
-    kv_pages: jnp.ndarray,     # [L*PPL, page, 2*kvh, hd] — flat full cache
+    kv_pages: jnp.ndarray,     # [2*L*PPL, page, kvh*hd] — flat split-plane cache
     layer,                     # scalar int32 layer index
     pages_per_layer: int,
     page_indices: jnp.ndarray,  # [S, PPS]
@@ -46,39 +46,41 @@ def ragged_paged_attention_ref(
 ) -> jnp.ndarray:
     from nanovllm_tpu.ops.kv_cache import is_quantized_cache
 
+    from nanovllm_tpu.ops.kv_cache import cache_kv_bits
+
     t, nh, hd = q.shape
-    data = kv_pages["data"] if is_quantized_cache(kv_pages) else kv_pages
+    quant = is_quantized_cache(kv_pages)
+    data = kv_pages["data"] if quant else kv_pages
     page_size = data.shape[1]
-    # KV4's data plane carries kvh head rows; the scale plane always has 2kvh
-    kvh2 = (
-        kv_pages["scale"].shape[-2] if is_quantized_cache(kv_pages)
-        else data.shape[2]
-    )
-    kvh = kvh2 // 2
+    kvh = data.shape[2] // hd  # plane row width kvh*hd in every layout
     s, pages_per_seq = page_indices.shape
     ctx = pages_per_seq * page_size
 
-    # dim-0 gather out of the flat cache: [S, PPS, page, 2kvh, hd]
-    gpages = layer * pages_per_layer + page_indices
-    kv = data[gpages]
-    quant = is_quantized_cache(kv_pages)
-    if quant and data.shape[-2] * 2 == kv_pages["scale"].shape[-2]:
-        # KV4: head h's K in the low nibble, V in the high (kv_cache.py)
+    gpages = layer * pages_per_layer + page_indices   # logical pages [S, PPS]
+    if quant and cache_kv_bits(kv_pages) == 4:
+        # KV4: head h's K in the low nibble, V in the high; interleaved
+        # scale rows (kv_cache.py)
         from nanovllm_tpu.ops.ragged_paged_attention import _unpack_int4_kv
 
+        kv = data[gpages].reshape(s, pages_per_seq, page_size, kvh, hd)
         scale = kv_pages["scale"][gpages]             # [S, PPS, 2kvh, page]
-        kq, vq = _unpack_int4_kv(kv)                  # [S, PPS, page, kvh, hd]
+        kq, vq = _unpack_int4_kv(kv)
         sk = scale[..., 0::2, :].transpose(0, 1, 3, 2)[..., None]
         sv = scale[..., 1::2, :].transpose(0, 1, 3, 2)[..., None]
         k = (kq.astype(jnp.float32) * sk).reshape(s, ctx, kvh, hd)
         v = (vq.astype(jnp.float32) * sv).reshape(s, ctx, kvh, hd)
     else:
+        # split planes: K at plane 2*gp, V at 2*gp + 1
+        k = data[2 * gpages].reshape(s, pages_per_seq, page_size, kvh, hd)
+        v = data[2 * gpages + 1].reshape(s, pages_per_seq, page_size, kvh, hd)
         if quant:
-            scale = kv_pages["scale"][gpages]         # [S, PPS, 2kvh, page]
-            kv = kv.astype(jnp.float32) * scale.transpose(0, 1, 3, 2)[..., None]
-        kv = kv.reshape(s, ctx, kvh, 2, hd)
-        k = kv[:, :, :, 0, :]                         # [S, C, kvh, hd]
-        v = kv[:, :, :, 1, :]
+            scale = kv_pages["scale"][gpages]         # [S, PPS, 2kvh, page] blocked
+            sk = scale[..., :kvh, :].transpose(0, 1, 3, 2)[..., None]
+            sv = scale[..., kvh:, :].transpose(0, 1, 3, 2)[..., None]
+            k = k.astype(jnp.float32) * sk
+            v = v.astype(jnp.float32) * sv
+        k = k.reshape(s, ctx, kvh, hd)                # [S, C, kvh, hd]
+        v = v.reshape(s, ctx, kvh, hd)
 
     tsid = jnp.clip(token_seq, 0, s - 1)
     k_t = k[tsid]                                     # [T, C, kvh, hd]

@@ -6,22 +6,33 @@ block-table cache at ``slot_mapping[t]``; ``slot == -1`` marks padding and is
 skipped — here by mapping it to an out-of-bounds page index and scattering
 with ``mode="drop"``.
 
-Cache layout: ``[L * pages_per_layer, page_size, 2 * num_kv_heads, head_dim]``
-with K/V interleaved on the head axis (head j's K at 2j, V at 2j+1), layer
-folded into the leading page axis.  Page-major-then-slot order makes each
-token's written row ``[2kvh, hd]`` *contiguous*, which is what lets XLA keep
-the scatter in place in the array's default layout — a head-major layout made
-XLA pick a transposed internal layout and insert a full-cache copy (12.6 GB)
-at program entry.  One page DMA still fetches both K and V.
+Cache layout (bf16 / INT8): ``[2 * L * pages_per_layer, page_size,
+kvh * hd]`` — *split planes*: logical page ``gp`` stores its K rows in plane
+``2*gp`` and its V rows in plane ``2*gp + 1``, layer folded into the leading
+plane axis, head rows pre-flattened to ``kvh*hd`` lanes (head h = lane
+window ``[h*hd, (h+1)*hd)``).  The flat 3-D plane-major order keeps each
+written row contiguous, which is what lets XLA keep the scatter in place in
+the array's default layout — a head-major layout made XLA pick a transposed
+internal layout and insert a full-cache copy (12.6 GB) at program entry.
+The flattened row matters because XLA tiles HBM arrays: a [.., kvh, hd] ->
+[.., kvh*hd] reshape at attention time materialized a full cache copy per
+step (7.9 ms measured).
+
+Why split planes instead of per-head K/V interleaved rows (the round-1..3
+layout): the decode kernel's block-diagonal dot contracts over a whole page
+row — with K/V interleaved, the V columns ride along as zero blocks in the
+score dot and the K columns in the PV dot, doubling both dots' width.  With
+split planes the kernel gets each plane as a contiguous ``[w, kvh*hd]``
+matrix with no in-kernel slicing (an attempted same-buffer head-axis slice
+cost a Mosaic relayout copy worth ~2.5 us/page-group), halving the MXU work
+per page.  KV4 is the exception: it packs head j's K and V nibbles into one
+byte, so it keeps ONE plane per logical page and its scale plane keeps the
+per-head interleaved row order (K at 2j, V at 2j+1); the split-plane caches
+use blocked scale rows (K at j, V at kvh + j).
 """
 
-import functools
-
-import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def is_quantized_cache(kv_pages) -> bool:
@@ -56,127 +67,60 @@ def _quantize_rows(kv: jnp.ndarray, bits: int = 8):
 
 
 def cache_kv_bits(kv_pages) -> int:
-    """8 or 4: a KV4 cache's data plane carries kvh head rows against the
-    scale plane's 2kvh (K and V share a byte per head)."""
+    """8 or 4: KV4 packs K and V of a head into one byte, so it has ONE data
+    plane per logical page (same leading count as the scale plane); the
+    split-plane INT8 cache has two."""
     if not is_quantized_cache(kv_pages):
         return 8
-    return 4 if kv_pages["data"].shape[-2] * 2 == kv_pages["scale"].shape[-2] else 8
+    return 4 if kv_pages["data"].shape[0] == kv_pages["scale"].shape[0] else 8
 
 
 def _write_rows_scatter(kv_pages, layer, pages_per_layer, kv, slot):
     """Row-scatter write (decode-scale batches: XLA scatter serializes at
     ~13us per update row, so this path is reserved for small T)."""
-    data = kv_pages["data"] if is_quantized_cache(kv_pages) else kv_pages
-    total_pages = data.shape[0]
-    page_size = data.shape[1]
-    page_idx = jnp.where(
-        slot >= 0, layer * pages_per_layer + slot // page_size, total_pages
-    ).astype(jnp.int32)
-    offset = jnp.where(slot >= 0, slot % page_size, 0).astype(jnp.int32)
-
-    if not is_quantized_cache(kv_pages):
-        return data.at[page_idx, offset].set(kv.astype(data.dtype), mode="drop")
-
-    q, scale = _quantize_rows(kv, bits=cache_kv_bits(kv_pages))
-    # scale layout [LP, 2kvh, page]: page on the lane axis — a [.., page, 2kvh]
-    # layout lane-pads 2kvh (16) up to 128, an 8x HBM blowup
-    return {
-        "data": data.at[page_idx, offset].set(q, mode="drop"),
-        "scale": kv_pages["scale"].at[page_idx, :, offset].set(
-            scale, mode="drop"
-        ),
-    }
-
-
-def _dma_write_kernel(layer_ref, slots_ref, *refs, pages_per_layer, page_size,
-                      quant: bool, t: int):
-    """Decode KV write as raw DMAs: token i's [2kvh, hd] row lands at
-    (page, offset) decoded from ``slots_ref[i]``; slot < 0 rows are skipped.
-
-    XLA's row scatter costs ~25 us/layer for 256 rows (it serializes update
-    rows); here all rows are in flight at once — two fori_loops issue every
-    start, then collect every wait, all on one semaphore per plane (every
-    copy of a plane moves the same byte count, so waits are exchangeable).
-    """
-    # the aliased cache input (_din) still appears as a ref; the kernel only
-    # touches the output side of the alias
-    rows_ref, _din, data_out, sem = refs
-    del quant
-    layer = layer_ref[0]
-
-    def copy(i):
-        s = slots_ref[i]
-        gp = layer * pages_per_layer + s // page_size
-        off = s % page_size
-        return pltpu.make_async_copy(rows_ref.at[i], data_out.at[gp, off], sem)
-
-    def run(phase):
-        def body(i, _):
-            @pl.when(slots_ref[i] >= 0)
-            def _():
-                getattr(copy(i), phase)()
-            return 0
-        lax.fori_loop(0, t, body, 0)
-
-    run("start")
-    run("wait")
-
-
-def _write_rows_dma(kv_pages, layer, pages_per_layer, kv, slot,
-                    interpret=False):
-    """Pallas decode-segment DATA write: in-place (aliased) DMA scatter.
-
-    INT8 scales keep the XLA scatter: a token's scale column is a 1-lane
-    slice of the [LP, 2kvh, page] plane, below the (8, 128) DMA tiling.
-    """
     quant = is_quantized_cache(kv_pages)
     data = kv_pages["data"] if quant else kv_pages
+    bits = cache_kv_bits(kv_pages)
+    total_planes = data.shape[0]
     page_size = data.shape[1]
-    t = kv.shape[0]
-    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    lpage = (layer * pages_per_layer + slot // page_size).astype(jnp.int32)
+    valid = slot >= 0
+    offset = jnp.where(valid, slot % page_size, 0).astype(jnp.int32)
 
     if quant:
-        rows, scale = _quantize_rows(kv, bits=cache_kv_bits(kv_pages))
+        rows, scale = _quantize_rows(kv, bits=bits)
     else:
         rows, scale = kv.astype(data.dtype), None
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[pltpu.SemaphoreType.DMA],
-    )
-    kernel = functools.partial(
-        _dma_write_kernel,
-        pages_per_layer=pages_per_layer,
-        page_size=page_size,
-        quant=quant,
-        t=t,
-    )
-    new_data = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(data.shape, data.dtype),
-        # alias indices count the pallas_call operand list INCLUDING the
-        # scalar-prefetch args (layer, slots) at positions 0-1
-        input_output_aliases={3: 0},
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=interpret,
-    )(layer_arr, slot, rows, data)
+    t = kv.shape[0]
+    if bits == 4:
+        pidx = jnp.where(valid, lpage, total_planes)
+        new_data = data.at[pidx, offset].set(rows.reshape(t, -1), mode="drop")
+    else:
+        # split planes: token's K row -> plane 2*lpage, V row -> 2*lpage + 1;
+        # one scatter with 2T row updates (invalid rows map past the plane
+        # count -> drop).  NOTE a windowed lax.scatter of [2, 1, D] blocks
+        # (T updates) made XLA pick a transposed operand layout and insert a
+        # full-cache copy (11.7 GB OOM) — the plain dim-0/dim-1 .at[] row
+        # scatter is the form XLA keeps in place.
+        kvh = rows.shape[1] // 2
+        pk = jnp.where(valid, 2 * lpage, total_planes)
+        idx = jnp.concatenate([pk, pk + 1])
+        off2 = jnp.concatenate([offset, offset])
+        rows2 = jnp.concatenate(
+            [rows[:, :kvh], rows[:, kvh:]]
+        ).reshape(2 * t, -1)
+        new_data = data.at[idx, off2].set(rows2, mode="drop")
+
     if not quant:
         return new_data
-
-    total_pages = data.shape[0]
-    page_idx = jnp.where(
-        slot >= 0, layer * pages_per_layer + slot // page_size, total_pages
-    ).astype(jnp.int32)
-    offset = jnp.where(slot >= 0, slot % page_size, 0).astype(jnp.int32)
+    # scale layout [LP, 2kvh, page] (ONE plane per logical page): page on the
+    # lane axis — a [.., page, 2kvh] layout lane-pads 2kvh (16) up to 128,
+    # an 8x HBM blowup
+    spidx = jnp.where(valid, lpage, kv_pages["scale"].shape[0])
     return {
         "data": new_data,
-        "scale": kv_pages["scale"].at[page_idx, :, offset].set(
+        "scale": kv_pages["scale"].at[spidx, :, offset].set(
             scale, mode="drop"
         ),
     }
@@ -202,20 +146,23 @@ def _write_rows_planes(kv_pages, layer, pages_per_layer, kv, slot, pages):
     """
     quant = is_quantized_cache(kv_pages)
     data = kv_pages["data"] if quant else kv_pages
-    total = data.shape[0]
+    bits = cache_kv_bits(kv_pages)
+    split = bits != 4
+    planes = 2 if split else 1
+    total = data.shape[0] // planes            # logical pages
     page_size = data.shape[1]
     t = kv.shape[0]
     pp = pages.shape[0]
-    d = data.shape[2] * data.shape[3]  # packed row width (int4: hd//2)
+    d = data.shape[2]                          # per-plane row width (kvh*hd)
 
     if quant:
         # int8/int4-packed rows; packed bytes are integers in [-128, 127] and
         # survive the bf16 one-hot matmul below exactly
-        rows, scale_rows = _quantize_rows(kv, bits=cache_kv_bits(kv_pages))
+        rows, scale_rows = _quantize_rows(kv, bits=bits)
         scale = kv_pages["scale"]
     else:
         rows, scale_rows, scale = kv, None, None
-    rows = rows.reshape(t, -1)
+    rows = rows.reshape(t, -1)                 # [T, planes * d]
 
     sl = min(page_size, t)
     offs = jnp.arange(page_size, dtype=jnp.int32)
@@ -232,16 +179,20 @@ def _write_rows_planes(kv_pages, layer, pages_per_layer, kv, slot, pages):
         oh = hit.astype(jnp.bfloat16 if quant else data.dtype)
         new = lax.dot_general(
             oh, lax.dynamic_slice_in_dim(rows, tok0, sl).astype(oh.dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),    # [page, D]
+            dimension_numbers=(((0,), (0,)), ((), ())),    # [page, planes*D]
             preferred_element_type=jnp.float32,
         )
         written = jnp.any(hit, axis=0)                     # [page]
-        old = lax.dynamic_slice_in_dim(data, gp, 1)        # [1, page, 2kvh, hd]
+        old = lax.dynamic_slice_in_dim(data, planes * gp, planes)
+        # split planes: new's row is [K row | V row] — regroup to plane-major
+        new_pm = new.reshape(page_size, planes, d).transpose(1, 0, 2)
         merged = jnp.where(
-            written[:, None], new.astype(data.dtype), old.reshape(page_size, d)
+            written[None, :, None],
+            new_pm.astype(data.dtype),
+            old.reshape(planes, page_size, d),
         )
         data = lax.dynamic_update_slice_in_dim(
-            data, merged.reshape(old.shape), gp, 0
+            data, merged.reshape(old.shape), planes * gp, 0
         )
         if quant:
             snew = lax.dot_general(
@@ -257,8 +208,8 @@ def _write_rows_planes(kv_pages, layer, pages_per_layer, kv, slot, pages):
 
 
 def write_kv_pages(
-    kv_pages,                   # [LP, page, 2*kvh, hd] array, or
-                                # {"data": int8 [LP, page, 2kvh, hd],
+    kv_pages,                   # [2*LP, page, kvh*hd] split-plane array, or
+                                # {"data": int8 [2*LP, page, kvh*hd],
                                 #  "scale": f32 [LP, 2kvh, page]} for KV8
     layer,                      # scalar int32 layer index
     pages_per_layer: int,
@@ -267,30 +218,42 @@ def write_kv_pages(
     slot_mapping: jnp.ndarray,  # [T] int32 global slots; -1 = skip (padding)
     segments: tuple[int, int, int] | None = None,
     prefill_pages: jnp.ndarray | None = None,  # [PP, 2] (page id, token-row start)
-    impl: str = "ref",          # "pallas" = DMA scatter for the decode segment
-    interpret: bool | None = None,  # None: interpret iff not on a real TPU
+    impl: str = "ref",          # accepted for API symmetry with attention;
+                                # the decode write is always the row scatter
+    interpret: bool | None = None,  # unused (kept for call-site symmetry)
 ):
     """Scatter directly into the full multi-layer cache.
 
-    The cache is FLAT 4D with the layer folded into the leading page axis
-    (global page = layer * pages_per_layer + page).  This shape is
-    load-bearing, measured on v5e (see module docstring): flat dim-0 advanced
-    indexing + contiguous written rows are what keep the scatter truly
-    in place on the loop-carried buffer — 5D [L, P, ...] indexing or a
-    head-major layout each cost an extra full-cache HBM copy per step.
+    The cache is FLAT 3D with the layer folded into the leading plane axis
+    (logical page = layer * pages_per_layer + page; split-plane caches store
+    K at plane 2*gp and V at 2*gp + 1).  This shape is load-bearing,
+    measured on v5e (see module docstring): flat dim-0 advanced indexing +
+    contiguous written rows are what keep the scatter truly in place on the
+    loop-carried buffer — 5D [L, P, ...] indexing or a head-major layout
+    each cost an extra full-cache HBM copy per step.
 
     INT8 KV mode quantizes symmetrically per (token, head) with a dynamic
     scale stored alongside (attention dequantizes in-kernel; ~2x KV capacity
     and read bandwidth, BASELINE "KV8").
     """
+    del impl, interpret
     t, kvh, hd = k.shape
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    kv = jnp.stack([k, v], axis=2).reshape(t, 2 * kvh, hd)
-    write_rows = (
-        functools.partial(_write_rows_dma, interpret=interpret)
-        if impl == "pallas" else _write_rows_scatter
-    )
+    # Decode-segment writes are the batched XLA row scatter: the 3-D
+    # [planes, page, kvh*hd] cache puts the page slot on the second-minor
+    # (sublane-tiled) dim, where Mosaic rejects single-row DMA slices
+    # ("slice shape along dimension 1 must be aligned to tiling") — the
+    # round-1..3 raw-DMA decode write kernel needed the retired 4-D
+    # [.., page, 2kvh, hd] layout whose slot dim was untiled.  Measured:
+    # the scatter costs ~the same as that kernel did (~28 us/layer at 256
+    # lanes) while the 3-D layout wins ~7 ms/iter on the attention side.
+    if cache_kv_bits(kv_pages) == 4:
+        # KV4 packs head j's K/V nibbles into one byte: _quantize_rows pairs
+        # ADJACENT rows, so the row order must interleave (K at 2j, V at 2j+1)
+        kv = jnp.stack([k, v], axis=2).reshape(t, 2 * kvh, hd)
+    else:
+        # blocked row [K heads | V heads] — see module docstring
+        kv = jnp.concatenate([k, v], axis=1)
+    write_rows = _write_rows_scatter
 
     if segments is None or prefill_pages is None or segments[2] <= segments[1]:
         return write_rows(kv_pages, layer, pages_per_layer, kv, slot_mapping)
@@ -309,7 +272,5 @@ def write_kv_pages(
 
 
 def split_kv_pages(kv_pages: jnp.ndarray):
-    """View the interleaved cache as (k, v): each [LP, page, kvh, hd]."""
-    lp, page, kvh2, hd = kv_pages.shape
-    kv = kv_pages.reshape(lp, page, kvh2 // 2, 2, hd)
-    return kv[:, :, :, 0], kv[:, :, :, 1]
+    """View the split-plane cache as (k, v): each [LP, page, kvh * hd]."""
+    return kv_pages[0::2], kv_pages[1::2]

@@ -19,9 +19,21 @@ Our Pallas replacement for the reference's FlashAttention-2 CUDA calls
   * Pages past a sequence's ``kv_len`` are skipped with ``@pl.when`` (their
     index_map clamps to the table's padding entry, page 0).
 
-KV cache layout: [L*pages_per_layer, page_size, 2*kvh, hd] (flat, page-major;
-see ops/kv_cache.py for why that exact order is load-bearing), K/V interleaved
-on the head axis; the kernel splits them with a reshape + static index.
+KV cache layout: [2*L*pages_per_layer, page_size, kvh*hd] (flat, plane-major;
+see ops/kv_cache.py for why that exact order is load-bearing): logical page
+gp's K rows live in plane 2*gp, its V rows in 2*gp + 1.  One strided DMA
+fetches both planes, and each lands contiguous in the slot buffer, so the
+kernel gets separate [w, kvh*hd] K and V matrices with no in-kernel slicing —
+halving the width of both block-diagonal MXU dots vs the old interleaved
+layout (V columns rode along as zero blocks in the score dot and vice versa).
+Pages are stored pre-flattened to [page, kvh*hd] rows because XLA tiles HBM
+arrays: a per-step [.., kvh, hd] -> [.., kvh*hd] reshape materialized a full
+cache copy (measured 7.9 ms/step), and the same reshape inside the kernel is
+a sublane->lane relayout (measured ~2.5 us/page-group).  Head h of a plane is
+the 128-aligned lane window [h*hd, (h+1)*hd) — sliced for free.
+KV4 is the exception: its packed byte plane carries one plane per logical
+page and its scale plane keeps the per-head interleaved order (K at 2j, V at
+2j+1); split-plane scales are blocked (K at j, V at kvh + j).
 """
 
 import functools
@@ -78,6 +90,10 @@ PREFILL_MANUAL = _os.environ.get("NVT_PREFILL_MANUAL", "1") == "1"
 PREFILL_NPP = int(_os.environ.get("NVT_PREFILL_NPP", "4"))
 PREFILL_RING = max(2, int(_os.environ.get("NVT_PREFILL_RING", "2")))
 
+# Tail-phase width (pages per narrow sub-step) for the decode kernel's final
+# partial page group; 0 disables the tail phase (full-width groups only).
+DECODE_TAIL_TPP = int(_os.environ.get("NVT_DECODE_TPP", "2"))
+
 
 def _attn_kernel(
     # scalar prefetch
@@ -100,8 +116,8 @@ def _attn_kernel(
         q_ref, kv_ref, out_ref, m_ref, l_ref, acc_ref = refs
         scale_ref = None
     # q_ref    [1, kvh, QG, hd]  (QG = Q_TILE * group)
-    # kv_ref   [1, page, 2*kvh, hd] — the page chosen by index_map
-    # scale_ref[1, 2*kvh, page] f32 (INT8 KV only; page on lanes)
+    # kv_ref   [2, page, kvh*hd] — the page's K/V planes chosen by index_map
+    # scale_ref[1, 2*kvh, page] f32 (INT8 KV only; page on lanes, blocked rows)
     # out_ref  [1, kvh, QG, hd]
     # m/l_ref  [kvh, QG, 128] f32 online-softmax state; acc_ref [kvh, QG, hd]
     t = pl.program_id(0)
@@ -124,7 +140,6 @@ def _attn_kernel(
     @pl.when(b < num_blocks)
     def _compute():
         q = q_ref[0]                                   # [kvh, QG, hd]
-        kv = kv_ref[0]                                 # [page, 2kvh, hd]
         kvh = q.shape[0]
         qg = q.shape[1]
 
@@ -137,9 +152,11 @@ def _attn_kernel(
 
         # static loop over local kv heads: plain 2D matmuls (Mosaic requires
         # dot_general batch dims at equal positions, so no batched form here)
+        hd = q.shape[2]
         for h in range(kvh):
-            k_h = kv[:, 2 * h, :]                      # [page, hd]
-            v_h = kv[:, 2 * h + 1, :]
+            # head h = 128-aligned lane window of the flattened plane row
+            k_h = kv_ref[0, :, h * hd:(h + 1) * hd]    # [page, hd]
+            v_h = kv_ref[1, :, h * hd:(h + 1) * hd]
             # dots run in q's dtype (bf16 in production = full MXU rate;
             # int8 KV is exact in bf16), accumulating in f32
             scores = lax.dot_general(
@@ -149,7 +166,7 @@ def _attn_kernel(
             ) * sm_scale                               # [QG, page]
             if kv_int8:
                 # K dequant folds into a per-column rescale after the dot
-                scores = scores * scale_ref[0, 2 * h][None, :]
+                scores = scores * scale_ref[0, h][None, :]
             scores = jnp.where(mask, scores, MASK_VALUE)
 
             m_prev = m_ref[h, :, 0]                    # [QG]
@@ -163,7 +180,7 @@ def _attn_kernel(
             l_new = l_ref[h, :, 0] * alpha + jnp.sum(p, axis=-1)
             if kv_int8:
                 # V dequant folds into p (cheaper: QG x page vs page x hd)
-                p = p * scale_ref[0, 2 * h + 1][None, :]
+                p = p * scale_ref[0, kvh + h][None, :]
             pv = lax.dot_general(
                 p.astype(q.dtype), v_h.astype(q.dtype),
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -196,6 +213,7 @@ def _decode_kernel(
     q_tile: int = 1,
     group: int = 1,
     kv_int4: bool = False,
+    tpp: int = 2,
 ):
     """Decode-mode kernel: grid (num_tiles,), one token's q heads per tile.
 
@@ -255,12 +273,25 @@ def _decode_kernel(
         )
         return pl.cdiv(lim, page_size)
 
+    # split-plane caches (int8/bf16): logical page b lives in data planes
+    # [2b, 2b+2) (K then V); ONE strided copy fetches both into the slot's
+    # [2, npp, ...] buffer so each plane lands contiguous per group.  KV4
+    # packs K/V in one byte: planes == 1.
+    planes = 1 if kv_int4 else 2
+
     def copies(slot, g, j, tt, nb):
         b = jnp.minimum(g * npp + j, jnp.maximum(nb - 1, 0))
         gpage = layer * pages_per_layer + page_indices_ref[tile_seq_ref[tt], b]
-        out = [pltpu.make_async_copy(
-            kv_hbm.at[gpage], kv_buf.at[slot, j], sems.at[slot, j]
-        )]
+        # one contiguous copy per plane (a single strided 2-plane copy into
+        # kv_buf[slot, :, j] measured 3x slower end-to-end)
+        out = [
+            pltpu.make_async_copy(
+                kv_hbm.at[planes * gpage + p],
+                kv_buf.at[slot, p, j],
+                sems.at[slot, j],
+            )
+            for p in range(planes)
+        ]
         if kv_int8:
             # scale scratch is [2kvh, npp*page] per slot: page j lands in a
             # lane-aligned column window, so the compute side gets head-major
@@ -345,193 +376,253 @@ def _decode_kernel(
         def _prime():
             start(0, 0)
 
-    q = q_ref[0]                                        # [kvh, QG, hd]
-    kvh, qg, hd = q.shape
-    r = kvh * qg                                        # stacked score rows
-    d = 2 * kvh * hd                                    # interleaved KV row width
+    # Inert lanes (padding / non-decoding) have num_blocks == 0: skip the
+    # whole lane body — q_bd build, loop setup, finalize and the output
+    # write cost ~1.5 us/lane otherwise (their out rows are garbage that
+    # downstream drops by row; measured 1.41x -> ~1.0x at 50% occupancy).
+    @pl.when(num_blocks > 0)
+    def _lane_compute():
+        q = q_ref[0]                                        # [kvh, QG, hd]
+        kvh, qg, hd = q.shape
+        r = kvh * qg                                        # stacked score rows
 
-    # Block-diagonal q: row block h carries q[h] at column block 2h (the K
-    # head) and zeros elsewhere — ONE [r, d] x [d, cols] MXU dot then yields
-    # every head's scores stacked as [r, cols].  FLOPs inflate by 2*kvh, but
-    # per-head [QG, hd] dots leave the MXU idle and pay ~8 VPU-bound softmax
-    # passes per page group; stacking makes both one wide pass (measured: the
-    # per-head kernel was 89% of a decode step at 5x speed-of-light).
-    perhead = q_tile > 1
-    if not perhead:
-        # block-diagonal q against the K matrix: head h's q sits at column
-        # block h * bd_stride.  int8/bf16 caches interleave K/V on the head
-        # axis (stride 2*hd, K blocks at 2h); KV4 unpacks separate K and V
-        # matrices of width kvh*hd (stride hd, K blocks at h).
-        bd_stride = hd if kv_int4 else 2 * hd
-        bd_width = kvh * bd_stride
-        q_bd = jnp.concatenate(
-            [
-                jnp.pad(q[h], ((0, 0),
-                               (h * bd_stride, bd_width - h * bd_stride - hd)))
-                for h in range(kvh)
-            ],
-            axis=0,
-        )                                               # [r, bd_width]
-        # fold the softmax scale into q once per tile instead of per group
-        q_bd = (q_bd.astype(jnp.float32) * sm_scale).astype(q.dtype)
-    else:
-        # prefill tiles: qg = q_tile * group rows fill the MXU on their own,
-        # so per-head [qg, hd] x [hd, W] dots are the right shape (the
-        # block-diagonal trick would inflate FLOPs 2*kvh-fold); softmax state
-        # is carried as loop VALUES (the BlockSpec-grid kernel carried it in
-        # VMEM scratch, re-reading/writing [kvh, qg, 128] per (tile, page)).
-        qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
-        row_tok = lax.broadcasted_iota(jnp.int32, (qg, 1), 0) // group
-        row_lim = jnp.minimum(tile_kvpos_ref[t] + row_tok + 1, kv_len)
-
-    def stack_scales(sc, first):
-        # [2kvh, W] -> [r, W] rows grouped per head (K: 2h, V: 2h+1)
-        w = sc.shape[-1]
-        per_head = sc.reshape(kvh, 2, w)[:, first, :]   # static slice
-        return jnp.broadcast_to(per_head[:, None, :], (kvh, qg, w)).reshape(r, w)
-
-    def sub_step(kv_raw, sc, col0, m, l, acc):
-        """Online-softmax update over one column window.
-
-        kv_raw [W, d] (W = window width), sc [2kvh, W] f32 scales (int8 KV
-        only), col0 = global kv position of the window's first column.
-        """
-        w = gp
-        if kv_int4:
-            k_all, v_all = _unpack_int4_kv(kv_raw.reshape(w, kvh, hd))
-            k_mat = k_all.reshape(w, bd_width).astype(q.dtype)
-            v_mat = v_all.reshape(w, bd_width).astype(q.dtype)
-        else:
-            # one cast feeds both dots (int8 KV -> exact in bf16)
-            k_mat = v_mat = kv_raw.reshape(w, bd_width).astype(q.dtype)
-        col = lax.broadcasted_iota(jnp.int32, (1, w), 1) + col0
-        mask = col < limit                              # [1, W]
-
-        scores = lax.dot_general(
-            q_bd, k_mat,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                               # [r, W]
-        if kv_int8:
-            scores = scores * stack_scales(sc, 0)
-        scores = jnp.where(mask, scores, MASK_VALUE)
-
-        m_new = jnp.maximum(m, jnp.max(scores, axis=-1))
-        alpha = jnp.where(m == -jnp.inf, 0.0, jnp.exp(m - m_new))
-        p = jnp.where(mask, jnp.exp(scores - m_new[:, None]), 0.0)
-        l_new = l * alpha + jnp.sum(p, axis=-1)
-        if kv_int8:
-            # re-mask after the scale multiply: skipped tail pages leave
-            # stale f32 scales in scratch, and 0 * NaN = NaN
-            p = jnp.where(mask, p * stack_scales(sc, 1), 0.0)
-        full = lax.dot_general(
-            p.astype(q.dtype), v_mat,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                               # [r, bd_width]
-        # extract each head's V block from the diagonal
-        v_off = 0 if kv_int4 else hd
-        pv = jnp.concatenate(
-            [
-                full[h * qg:(h + 1) * qg,
-                     h * bd_stride + v_off:h * bd_stride + v_off + hd]
-                for h in range(kvh)
-            ],
-            axis=0,
-        )                                               # [r, hd]
-        return m_new, l_new, acc * alpha[:, None] + pv
-
-    # NOTE: a "half-split" variant (each group computed as two half-width
-    # windows, the high one skipped via lax.cond when past the causal limit)
-    # measured 3x SLOWER across the board — lax.cond carrying the (m, l, acc)
-    # state wrecks Mosaic's loop body.  Do not retry with lax.cond; see
-    # BENCHMARKS.md.
-
-    def body(g, carry):
-        m, l, acc = carry                               # [r] [r] [r, hd]
-        if xlane:
-            slot = par_ref[0]
-            # issue the work item ring-1 ahead (tracked by the SMEM cursor)
-            # into the slot just past the in-flight window, before waiting on
-            # our own — slots cur..cur+ring-2 hold in-flight fetches
-            nti, ngi = issue_and_advance(
-                lax.rem(slot + (ring - 1), ring), par_ref[1], par_ref[2]
-            )
-            par_ref[1] = nti
-            par_ref[2] = ngi
-            par_ref[0] = lax.rem(slot + 1, ring)
-        else:
-            slot = jax.lax.rem(g, 2)
-
-            @pl.when(g + 1 < num_groups)
-            def _():
-                start(jax.lax.rem(g + 1, 2), g + 1)
-
-        wait(slot, g)
-        sc = scale_buf[slot] if kv_int8 else None
+        # Block-diagonal q: row block h carries q[h] at column block h (the K
+        # head) and zeros elsewhere — ONE [r, khw] x [khw, cols] MXU dot then
+        # yields every head's scores stacked as [r, cols].  FLOPs inflate by kvh,
+        # but per-head [QG, hd] dots leave the MXU idle and pay ~8 VPU-bound
+        # softmax passes per page group; stacking makes both one wide pass
+        # (measured: the per-head kernel was 89% of a decode step at 5x
+        # speed-of-light).
+        perhead = q_tile > 1
         if not perhead:
-            return sub_step(kv_buf[slot], sc, g * gp, m, l, acc)
-        return sub_step_perhead(kv_buf[slot], sc, g * gp, m, l, acc)
-
-    def sub_step_perhead(kv_raw, sc, col0, m, l, acc):
-        """Per-head online-softmax update over one page group.
-
-        kv_raw [npp, page, 2kvh, hd]; m/l [kvh, qg]; acc [kvh, qg, hd].
-        """
-        if kv_int4:
-            k_all, v_all = _unpack_int4_kv(kv_raw.reshape(gp, kvh, hd))
+            # all cache layouts present K (and V) as a separate [w, kvh*hd]
+            # matrix — blocked rows for int8/bf16 (sliced below), nibble unpack
+            # for KV4 — so the contraction width is kvh*hd, half the old
+            # interleaved layout's 2*kvh*hd (measured: 0.25 -> 0.19 us per
+            # page-slot of per-lane compute at the 0.6B decode shape).
+            bd_stride = hd
+            bd_width = kvh * hd
+            q_bd = jnp.concatenate(
+                [
+                    jnp.pad(q[h], ((0, 0),
+                                   (h * bd_stride, bd_width - h * bd_stride - hd)))
+                    for h in range(kvh)
+                ],
+                axis=0,
+            )                                               # [r, bd_width]
+            # fold the softmax scale into q once per tile instead of per group
+            q_bd = (q_bd.astype(jnp.float32) * sm_scale).astype(q.dtype)
         else:
-            kv3 = kv_raw.reshape(gp, 2 * kvh, hd)
-        col = lax.broadcasted_iota(jnp.int32, (1, gp), 1) + col0
-        mask = col < row_lim                            # [qg, gp]
-        ms, ls, accs = [], [], []
-        for h in range(kvh):
+            # prefill tiles: qg = q_tile * group rows fill the MXU on their own,
+            # so per-head [qg, hd] x [hd, W] dots are the right shape (the
+            # block-diagonal trick would inflate FLOPs 2*kvh-fold); softmax state
+            # is carried as loop VALUES (the BlockSpec-grid kernel carried it in
+            # VMEM scratch, re-reading/writing [kvh, qg, 128] per (tile, page)).
+            qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+            row_tok = lax.broadcasted_iota(jnp.int32, (qg, 1), 0) // group
+            row_lim = jnp.minimum(tile_kvpos_ref[t] + row_tok + 1, kv_len)
+
+        def stack_scales(sc, first):
+            # [2kvh, W] -> [r, W] rows grouped per head; int8 scale rows are
+            # blocked (K: h, V: kvh+h), KV4's interleaved (K: 2h, V: 2h+1)
+            w = sc.shape[-1]
             if kv_int4:
-                k_h = k_all[:, h, :].astype(q.dtype)    # [gp, hd]
-                v_h = v_all[:, h, :].astype(q.dtype)
+                per_head = sc.reshape(kvh, 2, w)[:, first, :]  # static slice
             else:
-                k_h = kv3[:, 2 * h, :].astype(q.dtype)  # [gp, hd]
-                v_h = kv3[:, 2 * h + 1, :].astype(q.dtype)
+                per_head = sc.reshape(2, kvh, w)[first]
+            return jnp.broadcast_to(per_head[:, None, :], (kvh, qg, w)).reshape(r, w)
+
+        def sub_step(kv_raw, sc, col0, m, l, acc):
+            """Online-softmax update over one column window.
+
+            kv_raw [planes, np_win, page, kvh*hd] (the slot buffer, or a narrow
+            page window of it in the tail phase), sc [2kvh, W] f32 scales (int8
+            KV only), col0 = global kv position of the window's first column.
+            """
+            w = kv_raw.shape[1] * kv_raw.shape[2]
+            if kv_int4:
+                k_all, v_all = _unpack_int4_kv(kv_raw[0].reshape(w, bd_width))
+                k_mat = k_all.astype(q.dtype)
+                v_mat = v_all.astype(q.dtype)
+            else:
+                # split planes land contiguous per group AND pre-flattened to
+                # [page, kvh*hd] rows (the wrapper reshapes the HBM side), so
+                # these reshapes merge leading dims only — no relayout (an
+                # in-kernel [.., kvh, hd] -> [.., kvh*hd] sublane->lane reshape
+                # measured 3x slower; int8 KV casts to bf16 exactly)
+                k_mat = kv_raw[0].reshape(w, bd_width).astype(q.dtype)
+                v_mat = kv_raw[1].reshape(w, bd_width).astype(q.dtype)
+            col = lax.broadcasted_iota(jnp.int32, (1, w), 1) + col0
+            mask = col < limit                              # [1, W]
+
             scores = lax.dot_general(
-                qs[h], k_h,
+                q_bd, k_mat,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                           # [qg, gp]
+            )                                               # [r, W]
             if kv_int8:
-                scores = scores * sc[2 * h][None, :]
+                scores = scores * stack_scales(sc, 0)
             scores = jnp.where(mask, scores, MASK_VALUE)
-            m_new = jnp.maximum(m[h], jnp.max(scores, axis=-1))
-            alpha = jnp.where(m[h] == -jnp.inf, 0.0, jnp.exp(m[h] - m_new))
+
+            m_new = jnp.maximum(m, jnp.max(scores, axis=-1))
+            alpha = jnp.where(m == -jnp.inf, 0.0, jnp.exp(m - m_new))
             p = jnp.where(mask, jnp.exp(scores - m_new[:, None]), 0.0)
-            l_new = l[h] * alpha + jnp.sum(p, axis=-1)
+            l_new = l * alpha + jnp.sum(p, axis=-1)
             if kv_int8:
-                # re-mask after the V-scale multiply (stale scales of skipped
-                # tail pages: 0 * NaN = NaN)
-                p = jnp.where(mask, p * sc[2 * h + 1][None, :], 0.0)
-            pv = lax.dot_general(
-                p.astype(q.dtype), v_h,
+                # re-mask after the scale multiply: skipped tail pages leave
+                # stale f32 scales in scratch, and 0 * NaN = NaN
+                p = jnp.where(mask, p * stack_scales(sc, 1), 0.0)
+            full = lax.dot_general(
+                p.astype(q.dtype), v_mat,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                           # [qg, hd]
-            ms.append(m_new)
-            ls.append(l_new)
-            accs.append(acc[h] * alpha[:, None] + pv)
-        return jnp.stack(ms), jnp.stack(ls), jnp.stack(accs)
+            )                                               # [r, bd_width]
+            # extract each head's V block from the diagonal
+            pv = jnp.concatenate(
+                [
+                    full[h * qg:(h + 1) * qg, h * hd:(h + 1) * hd]
+                    for h in range(kvh)
+                ],
+                axis=0,
+            )                                               # [r, hd]
+            return m_new, l_new, acc * alpha[:, None] + pv
 
-    if perhead:
-        m0 = jnp.full((kvh, qg), -jnp.inf, jnp.float32)
-        l0 = jnp.zeros((kvh, qg), jnp.float32)
-        acc0 = jnp.zeros((kvh, qg, hd), jnp.float32)
-        m, l, acc = lax.fori_loop(0, num_groups, body, (m0, l0, acc0))
-        denom = jnp.where(l == 0.0, 1.0, l)
-        out_ref[0] = (acc / denom[:, :, None]).astype(out_ref.dtype)
-    else:
-        m0 = jnp.full((r,), -jnp.inf, jnp.float32)
-        l0 = jnp.zeros((r,), jnp.float32)
-        acc0 = jnp.zeros((r, hd), jnp.float32)
-        m, l, acc = lax.fori_loop(0, num_groups, body, (m0, l0, acc0))
-        denom = jnp.where(l == 0.0, 1.0, l)
-        out_ref[0] = (acc / denom[:, None]).reshape(kvh, qg, hd).astype(out_ref.dtype)
+        # NOTE: a "half-split" variant (each group computed as two half-width
+        # windows, the high one skipped via lax.cond when past the causal limit)
+        # measured 3x SLOWER across the board — lax.cond carrying the (m, l, acc)
+        # state wrecks Mosaic's loop body.  Do not retry with lax.cond; see
+        # BENCHMARKS.md.
+
+        def body(g, carry):
+            m, l, acc = carry                               # [r] [r] [r, hd]
+            if xlane:
+                slot = par_ref[0]
+                # issue the work item ring-1 ahead (tracked by the SMEM cursor)
+                # into the slot just past the in-flight window, before waiting on
+                # our own — slots cur..cur+ring-2 hold in-flight fetches
+                nti, ngi = issue_and_advance(
+                    lax.rem(slot + (ring - 1), ring), par_ref[1], par_ref[2]
+                )
+                par_ref[1] = nti
+                par_ref[2] = ngi
+                par_ref[0] = lax.rem(slot + 1, ring)
+            else:
+                slot = jax.lax.rem(g, 2)
+
+                @pl.when(g + 1 < num_groups)
+                def _():
+                    start(jax.lax.rem(g + 1, 2), g + 1)
+
+            wait(slot, g)
+            sc = scale_buf[slot] if kv_int8 else None
+            if not perhead:
+                return sub_step(kv_buf[slot], sc, g * gp, m, l, acc)
+            return sub_step_perhead(kv_buf[slot], sc, g * gp, m, l, acc)
+
+        def sub_step_perhead(kv_raw, sc, col0, m, l, acc):
+            """Per-head online-softmax update over one page group.
+
+            kv_raw [planes, npp, page, kvh*hd]; m/l [kvh, qg]; acc [kvh, qg, hd].
+            """
+            if kv_int4:
+                k_allm, v_allm = _unpack_int4_kv(kv_raw[0].reshape(gp, kvh * hd))
+            else:
+                k_allm = kv_raw[0].reshape(gp, kvh * hd)
+                v_allm = kv_raw[1].reshape(gp, kvh * hd)
+            col = lax.broadcasted_iota(jnp.int32, (1, gp), 1) + col0
+            mask = col < row_lim                            # [qg, gp]
+            ms, ls, accs = [], [], []
+            for h in range(kvh):
+                # head h = lane columns [h*hd, (h+1)*hd): 128-aligned lane
+                # slices of the flattened [gp, kvh*hd] plane, no relayout
+                k_h = k_allm[:, h * hd:(h + 1) * hd].astype(q.dtype)  # [gp, hd]
+                v_h = v_allm[:, h * hd:(h + 1) * hd].astype(q.dtype)
+                if kv_int4:
+                    sk, sv = 2 * h, 2 * h + 1               # interleaved scales
+                else:
+                    sk, sv = h, kvh + h                     # blocked scales
+                scores = lax.dot_general(
+                    qs[h], k_h,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                           # [qg, gp]
+                if kv_int8:
+                    scores = scores * sc[sk][None, :]
+                scores = jnp.where(mask, scores, MASK_VALUE)
+                m_new = jnp.maximum(m[h], jnp.max(scores, axis=-1))
+                alpha = jnp.where(m[h] == -jnp.inf, 0.0, jnp.exp(m[h] - m_new))
+                p = jnp.where(mask, jnp.exp(scores - m_new[:, None]), 0.0)
+                l_new = l[h] * alpha + jnp.sum(p, axis=-1)
+                if kv_int8:
+                    # re-mask after the V-scale multiply (stale scales of skipped
+                    # tail pages: 0 * NaN = NaN)
+                    p = jnp.where(mask, p * sc[sv][None, :], 0.0)
+                pv = lax.dot_general(
+                    p.astype(q.dtype), v_h,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                           # [qg, hd]
+                ms.append(m_new)
+                ls.append(l_new)
+                accs.append(acc[h] * alpha[:, None] + pv)
+            return jnp.stack(ms), jnp.stack(ls), jnp.stack(accs)
+
+        if perhead:
+            m0 = jnp.full((kvh, qg), -jnp.inf, jnp.float32)
+            l0 = jnp.zeros((kvh, qg), jnp.float32)
+            acc0 = jnp.zeros((kvh, qg, hd), jnp.float32)
+            m, l, acc = lax.fori_loop(0, num_groups, body, (m0, l0, acc0))
+            denom = jnp.where(l == 0.0, 1.0, l)
+            out_ref[0] = (acc / denom[:, :, None]).astype(out_ref.dtype)
+        else:
+            m0 = jnp.full((r,), -jnp.inf, jnp.float32)
+            l0 = jnp.zeros((r,), jnp.float32)
+            acc0 = jnp.zeros((r, hd), jnp.float32)
+            init = (m0, l0, acc0)
+            if not (xlane and 0 < tpp < npp):
+                m, l, acc = lax.fori_loop(0, num_groups, body, init)
+            else:
+                # Tail-proportional compute: FULL npp-page groups run the wide
+                # sub_step; the final partial group (if any) is consumed in
+                # narrow tpp-page sub-steps over its already-fetched buffer, so
+                # compute scales with the VALID page count instead of paying a
+                # full npp-wide pass for 1..npp-1 pages (ctx just past a group
+                # boundary measured 1.18x its KV-fetch floor; see BENCHMARKS.md).
+                # Two sequential fori_loops carry (m, l, acc) as plain values —
+                # no lax.cond around softmax state (see NOTE above).
+                nfull = limit // gp
+                m, l, acc = lax.fori_loop(0, nfull, body, init)
+                ntail_steps = pl.cdiv(num_blocks - nfull * npp, tpp)
+
+                def tail_body(j, carry):
+                    mj, lj, accj = carry
+
+                    @pl.when(j == 0)
+                    def _():
+                        # consume the tail group's ring slot exactly like body
+                        slot0 = par_ref[0]
+                        nti, ngi = issue_and_advance(
+                            lax.rem(slot0 + (ring - 1), ring),
+                            par_ref[1], par_ref[2],
+                        )
+                        par_ref[1] = nti
+                        par_ref[2] = ngi
+                        par_ref[0] = lax.rem(slot0 + 1, ring)
+                        wait(slot0, nfull)
+
+                    slot = lax.rem(par_ref[0] + ring - 1, ring)
+                    kv_win = kv_buf[slot, :, pl.ds(j * tpp, tpp)]
+                    sc = (
+                        scale_buf[slot, :, pl.ds(j * tpp * page_size,
+                                                 tpp * page_size)]
+                        if kv_int8 else None
+                    )
+                    col0 = (nfull * npp + j * tpp) * page_size
+                    return sub_step(kv_win, sc, col0, mj, lj, accj)
+
+                m, l, acc = lax.fori_loop(0, ntail_steps, tail_body, (m, l, acc))
+            denom = jnp.where(l == 0.0, 1.0, l)
+            out_ref[0] = (acc / denom[:, None]).reshape(kvh, qg, hd).astype(out_ref.dtype)
 
 
 def ragged_paged_attention_pallas(
@@ -556,12 +647,14 @@ def ragged_paged_attention_pallas(
     if kv_int8:
         kv_pages = kv_pages["data"]
     t, nh, hd = q.shape
-    # KV4 packs head h's K (low nibble) and V (high) in one byte: the data
-    # plane then has kvh head rows against the scale plane's 2kvh
-    kv_int4 = kv_int8 and kv_pages.shape[2] * 2 == kv_scales.shape[1]
+    # KV4 packs head h's K (low nibble) and V (high) in one byte: ONE data
+    # plane per logical page (same leading count as the scale plane); the
+    # split-plane int8/bf16 caches have two (K at 2*gp, V at 2*gp + 1)
+    kv_int4 = kv_int8 and kv_pages.shape[0] == kv_scales.shape[0]
+    planes = 1 if kv_int4 else 2
     page_size = kv_pages.shape[1]
-    kvh2 = kv_scales.shape[1] if kv_int8 else kv_pages.shape[2]
-    kvh = kvh2 // 2
+    kvh = kv_pages.shape[2] // q.shape[2]  # plane row width D = kvh * hd
+    kvh2 = 2 * kvh
     group = nh // kvh
     nt = t // q_tile
     assert nt * q_tile == t, "query rows must be tile-aligned"
@@ -605,7 +698,7 @@ def ragged_paged_attention_pallas(
         ring = (DECODE_RING if q_tile == 1 else PREFILL_RING) if xlane else 2
         # the ring buffer must leave room in the 16 MB scoped-VMEM budget
         # (bf16 KV pages are 2x int8: ring 4 x npp 8 x 512 KB alone is 16 MB)
-        page_bytes = page_size * kvh2 * hd * kv_pages.dtype.itemsize
+        page_bytes = page_size * planes * kvh * hd * kv_pages.dtype.itemsize
         while ring > 2 and ring * npp * page_bytes > 12 * 1024 * 1024:
             ring -= 1
         # f32 KV pages (4x int8) can exceed the budget even at ring 2 —
@@ -620,7 +713,7 @@ def ragged_paged_attention_pallas(
         inputs = [qk, kv_pages]
         scratch = [
             pltpu.VMEM(
-                (ring, npp, page_size, kv_pages.shape[2], kv_pages.shape[3]),
+                (ring, planes, npp, page_size, kvh * hd),
                 kv_pages.dtype,
             ),
         ]
@@ -654,6 +747,7 @@ def ragged_paged_attention_pallas(
             q_tile=q_tile,
             group=group,
             kv_int4=kv_int4,
+            tpp=DECODE_TAIL_TPP,
         )
         out = pl.pallas_call(
             kernel,
@@ -687,7 +781,7 @@ def ragged_paged_attention_pallas(
                page_indices_ref):
         page = _clamped_page(ti, bi, tile_seq_ref, tile_kvpos_ref, kv_lens_ref,
                              page_indices_ref)
-        return (layer_ref[0] * pages_per_layer + page, 0, 0, 0)
+        return (layer_ref[0] * pages_per_layer + page, 0, 0)
 
     def scale_map(ti, bi, layer_ref, tile_seq_ref, tile_kvpos_ref, kv_lens_ref,
                   page_indices_ref):
@@ -697,7 +791,8 @@ def ragged_paged_attention_pallas(
 
     in_specs = [
         pl.BlockSpec((1, kvh, qg, hd), q_map),
-        pl.BlockSpec((1, page_size, kvh2, hd), kv_map),
+        # block dim0 = 2: block index gp covers data planes [2*gp, 2*gp + 2)
+        pl.BlockSpec((2, page_size, kvh * hd), kv_map),
     ]
     inputs = [qk, kv_pages]
     if kv_int8:

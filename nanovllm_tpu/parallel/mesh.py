@@ -75,9 +75,10 @@ def param_pspecs(layers_tree: dict) -> dict:
 
 
 def kv_pspec() -> P:
-    """KV pages: [dp * L * P, page, 2*kvh, hd] — dp groups partition the flat
-    leading page axis; kv heads shard on "tp" within a group."""
-    return P(DP_AXIS, None, TP_AXIS, None)
+    """KV pages: [planes * dp * L * P, page, kvh * hd] — dp groups partition
+    the flat leading plane axis; the head-major kvh*hd lane axis shards on
+    "tp" within a group (each shard gets its contiguous kvh_l head block)."""
+    return P(DP_AXIS, None, TP_AXIS)
 
 
 def pack_tp(arrays: list[np.ndarray], tp: int, axis: int) -> np.ndarray:

@@ -23,9 +23,11 @@ PAGE = 16
 
 
 def rand_cache(rng, num_pages, kvh, hd, layers=3):
-    # flat 4D cache: [layers * num_pages, 2*kvh, page, hd]
+    # flat 3D split-plane cache: [2 * layers * num_pages, page, kvh * hd]
+    # (logical page gp: K plane 2*gp, V plane 2*gp + 1; head h = lane
+    # window [h*hd, (h+1)*hd))
     return jnp.asarray(
-        rng.standard_normal((layers * num_pages, PAGE, 2 * kvh, hd), dtype=np.float32)
+        rng.standard_normal((2 * layers * num_pages, PAGE, kvh * hd), dtype=np.float32)
     )
 
 LAYER = 1   # attention reads layer 1 of a 3-layer cache (indexing exercised)
@@ -182,60 +184,22 @@ class TestSegmentedDispatch:
 class TestKVWrite:
     def test_scatter_and_drop(self):
         kvh, hd = 2, 8
-        ppl = 4  # 2 layers x 4 pages, flat
-        pages = jnp.zeros((2 * ppl, PAGE, 2 * kvh, hd), jnp.float32)
+        ppl = 4  # 2 layers x 4 pages, flat split planes
+        pages = jnp.zeros((2 * 2 * ppl, PAGE, kvh * hd), jnp.float32)
         k = jnp.ones((3, kvh, hd)) * jnp.asarray([1.0, 2.0, 3.0])[:, None, None]
         v = -k
         slots = jnp.asarray([0, PAGE + 2, -1], jnp.int32)  # third is padding
         out = write_kv_pages(pages, 1, ppl, k, v, slots)  # write into layer 1
         kk, vv = split_kv_pages(out)
-        assert float(kk[ppl + 0, 0, 0, 0]) == 1.0 and float(vv[ppl + 0, 0, 0, 0]) == -1.0
-        assert float(kk[ppl + 1, 2, 1, 3]) == 2.0 and float(vv[ppl + 1, 2, 1, 3]) == -2.0
-        assert float(jnp.sum(jnp.abs(out[:ppl]))) == 0.0  # layer 0 untouched
+        assert float(kk[ppl + 0, 0, 0]) == 1.0 and float(vv[ppl + 0, 0, 0]) == -1.0
+        # head 1, dim 3 = lane 1 * hd + 3
+        assert float(kk[ppl + 1, 2, hd + 3]) == 2.0
+        assert float(vv[ppl + 1, 2, hd + 3]) == -2.0
+        assert float(jnp.sum(jnp.abs(out[:2 * ppl]))) == 0.0  # layer 0 untouched
         # dropped slot wrote nothing anywhere
         total = float(jnp.sum(jnp.abs(out)))
         expected = float(jnp.sum(jnp.abs(k[:2]))) + float(jnp.sum(jnp.abs(v[:2])))
         assert abs(total - expected) < 1e-6
-
-
-class TestDmaKVWrite:
-    """The pallas DMA decode write must equal the XLA row scatter."""
-
-    @pytest.mark.parametrize("quant", [False, True])
-    def test_dma_write_matches_scatter(self, quant):
-        from nanovllm_tpu.ops.kv_cache import _write_rows_dma, _write_rows_scatter
-
-        rng = np.random.default_rng(12)
-        layers, ppl, kvh, hd, t = 2, 8, 2, 32, 10
-        if quant:
-            kvp = {
-                "data": jnp.asarray(
-                    rng.integers(-127, 127, (layers * ppl, PAGE, 2 * kvh, hd)),
-                    jnp.int8,
-                ),
-                "scale": jnp.asarray(
-                    rng.uniform(0.01, 1, (layers * ppl, 2 * kvh, PAGE)),
-                    jnp.float32,
-                ),
-            }
-        else:
-            kvp = jnp.asarray(
-                rng.standard_normal((layers * ppl, PAGE, 2 * kvh, hd)),
-                jnp.float32,
-            )
-        kv = jnp.asarray(
-            rng.standard_normal((t, 2 * kvh, hd)).astype(np.float32)
-        )
-        slots = np.full(t, -1, np.int32)
-        slots[[0, 3, 4, 7]] = [5, PAGE + 2, 3 * PAGE + 9, 6 * PAGE - 1]
-        slots = jnp.asarray(slots)
-        a = _write_rows_dma(kvp, jnp.int32(1), ppl, kv, slots, interpret=True)
-        b = _write_rows_scatter(kvp, jnp.int32(1), ppl, kv, slots)
-        if quant:
-            np.testing.assert_array_equal(np.asarray(a["data"]), np.asarray(b["data"]))
-            np.testing.assert_array_equal(np.asarray(a["scale"]), np.asarray(b["scale"]))
-        else:
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 class TestPlaneKVWrite:
@@ -248,12 +212,12 @@ class TestPlaneKVWrite:
         if quant:
             def mk():
                 return {
-                    "data": jnp.zeros((layers * ppl, PAGE, 2 * kvh, hd), jnp.int8),
+                    "data": jnp.zeros((2 * layers * ppl, PAGE, kvh * hd), jnp.int8),
                     "scale": jnp.zeros((layers * ppl, 2 * kvh, PAGE), jnp.float32),
                 }
         else:
             def mk():
-                return jnp.zeros((layers * ppl, PAGE, 2 * kvh, hd), jnp.float32)
+                return jnp.zeros((2 * layers * ppl, PAGE, kvh * hd), jnp.float32)
 
         # mixed step: 2 decode rows + a prefill chunk of 37 tokens over
         # pages [3, 4, 5] (partial first and last page)

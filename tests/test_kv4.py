@@ -37,7 +37,7 @@ def test_pack_unpack_roundtrip():
 def _build_case(rng, kv_lens_list, kvh, hd, layers=2, num_pages=32):
     ppl = num_pages
     cache4 = {
-        "data": jnp.zeros((layers * ppl, PAGE, kvh, hd), jnp.int8),
+        "data": jnp.zeros((layers * ppl, PAGE, kvh * hd), jnp.int8),
         "scale": jnp.zeros((layers * ppl, 2 * kvh, PAGE), jnp.float32),
     }
     s = len(kv_lens_list)

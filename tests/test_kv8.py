@@ -19,10 +19,10 @@ def quantized_case(rng, kv_lens_list, nh, kvh, hd, layers=2, num_pages=32):
     an identical bf16 cache as the oracle input."""
     ppl = num_pages
     cache8 = {
-        "data": jnp.zeros((layers * ppl, PAGE, 2 * kvh, hd), jnp.int8),
+        "data": jnp.zeros((2 * layers * ppl, PAGE, kvh * hd), jnp.int8),
         "scale": jnp.zeros((layers * ppl, 2 * kvh, PAGE), jnp.float32),
     }
-    cache_fp = jnp.zeros((layers * ppl, PAGE, 2 * kvh, hd), jnp.float32)
+    cache_fp = jnp.zeros((2 * layers * ppl, PAGE, kvh * hd), jnp.float32)
     s = len(kv_lens_list)
     max_pages = max((k + PAGE - 1) // PAGE for k in kv_lens_list)
     page_indices = np.zeros((s, max_pages), np.int32)

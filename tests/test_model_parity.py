@@ -67,8 +67,10 @@ def run_ours(path, cfg, prompt, decode_tokens=()):
     params = load_qwen3_params(path, spec)
     params = jax.tree.map(jnp.asarray, params)
     num_pages = 8
+    # split-plane 3D cache: K at plane 2*gp, V at 2*gp + 1 (ops/kv_cache.py)
     kv_pages = jnp.zeros(
-        (spec.num_layers * num_pages, BLOCK, 2 * spec.num_kv_heads, spec.head_dim),
+        (2 * spec.num_layers * num_pages, BLOCK,
+         spec.num_kv_heads * spec.head_dim),
         jnp.float32,
     )
     rows = []
@@ -113,7 +115,8 @@ def test_padded_tokens_do_not_corrupt_state(tiny_ckpt):
     prompt = [3, 17, 99, 5, 42]
     spec = ModelSpec.from_hf(cfg, tp_size=1, dtype="float32")
     params = jax.tree.map(jnp.asarray, load_qwen3_params(path, spec))
-    kv = jnp.zeros((spec.num_layers * 8, BLOCK, 2 * spec.num_kv_heads, spec.head_dim), jnp.float32)
+    kv = jnp.zeros((2 * spec.num_layers * 8, BLOCK,
+                spec.num_kv_heads * spec.head_dim), jnp.float32)
 
     exact = make_batch(prompt, 0, len(prompt), 8)
     h1, kv1 = forward_local(params, kv, exact, (0, 0, 0), spec, None, "ref")

@@ -51,9 +51,10 @@ def main():
 
     q = jnp.asarray(rng.normal(size=(args.lanes, nh, args.hd)), jnp.bfloat16)
     # generate the (multi-GB) cache ON DEVICE — materializing it on the host
-    # and shipping it through the axon tunnel takes minutes
+    # and shipping it through the axon tunnel takes minutes.  Split-plane
+    # layout: [2 * L * pages, page, kvh, hd], K at plane 2*gp, V at 2*gp+1.
     key = jax.random.key(0)
-    shape = (args.layers * num_pages, args.page, 2 * args.kvh, args.hd)
+    shape = (2 * args.layers * num_pages, args.page, args.kvh * args.hd)
     if args.bf16_kv:
         kv_pages = jax.jit(
             lambda k: jax.random.normal(k, shape, jnp.bfloat16)
@@ -63,7 +64,7 @@ def main():
             lambda k: {
                 "data": jax.random.randint(k, shape, -127, 127, jnp.int8),
                 "scale": jax.random.uniform(
-                    k, (shape[0], 2 * args.kvh, args.page),
+                    k, (args.layers * num_pages, 2 * args.kvh, args.page),
                     jnp.float32, 0.01, 0.02,
                 ),
             }
