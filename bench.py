@@ -118,6 +118,9 @@ def main():
         SamplingParams(temperature=0.6, ignore_eos=True, max_tokens=8),
         use_tqdm=False,
     )
+    # let the background lane-tier compile finish before timing: its compile
+    # RPCs contend with measurement (-35% tok/s observed when overlapped)
+    llm.wait_for_warmup()
 
     t0 = time.time()
     llm.generate(prompts, sampling_params, use_tqdm=False)

@@ -115,7 +115,8 @@ def _written_pages(seq: Sequence, block_size: int) -> list[tuple[int, int]]:
 
 
 def lane_ladder(s_cap: int) -> list[int]:
-    """Distinct decode-lane paddings for an engine with ``s_cap`` max seqs.
+    """Distinct decode-lane paddings for an engine with ``s_cap`` max seqs:
+    every power of two from 8 up to ``bucket(s_cap)``.
 
     Round 1-2 used a two-value ladder {8, s_cap} on the argument that padded
     lanes are nearly free.  That holds when decode is KV-fetch-bound (0.6B:
@@ -123,31 +124,41 @@ def lane_ladder(s_cap: int) -> list[int]:
     matmuls are COMPUTE-bound at the padded row count: a 14B decode step
     with ~60 live lanes padded to 256 spends ~34 ms of MXU time on 4/5
     empty rows (measured: burst iterations 74 ms vs a 17.6 ms byte floor).
-    A mid tier at ~s_cap/4 cuts the padded matmul work 4x for the
-    low-occupancy regime that KV capacity forces at 8B/14B, at the price of
-    ~7 more compiled programs (parallel-compiled at init)."""
-    vals = {8, bucket(max(s_cap, 8))}
-    if s_cap >= 64:
-        # cap/4 serves the KV-capacity-bound flagship regime (14B runs
-        # ~60 live lanes), cap/2 the mid-occupancy one (8B runs ~80-100
-        # lanes, which a {8, 64, 256} ladder would round all the way up)
-        vals.add(bucket(max(s_cap // 4, 8)))
-        vals.add(bucket(max(s_cap // 2, 8)))
-    return sorted(vals)
+    Mid tiers cut the padded matmul work for the low-occupancy regimes that
+    KV capacity forces at 8B/14B (cap/4: +31% e2e at 14B, cap/2: +13% at
+    8B), and the {16, 32} tiers serve the drain windows where 14B bursts
+    ran ~21 live lanes padded to 64 (45% of speed-of-light).  The compile
+    cost of the full ladder is NOT paid before serving readiness: only the
+    {8, cap} tiers warm eagerly; mid tiers compile in a background thread
+    and steps route to the nearest ready tier until they land
+    (model_runner.warmup_buckets)."""
+    cap = bucket(max(s_cap, 8))
+    vals, v = [], 8
+    while v < cap:
+        vals.append(v)
+        v *= 2
+    vals.append(cap)
+    return vals
 
 
-def seq_pad(n: int, s_cap: int | None) -> int:
-    """Smallest lane-ladder padding holding ``n`` sequence lanes."""
+def seq_pad(n: int, s_cap: int | None, tiers=None) -> int:
+    """Smallest lane-ladder padding holding ``n`` sequence lanes.
+
+    ``tiers`` (optional) restricts the choice to an iterable of READY tier
+    values (programs already compiled); the ladder's cap is always expected
+    to be ready, so routing rounds up rather than failing."""
     if s_cap is None:
         return bucket(n)
-    for v in lane_ladder(s_cap):
+    allowed = lane_ladder(s_cap) if tiers is None else sorted(tiers)
+    for v in allowed:
         if n <= v:
             return v
     return bucket(max(s_cap, n))
 
 
 def step_layout(
-    seqs: list[Sequence], block_size: int, s_cap: int | None = None
+    seqs: list[Sequence], block_size: int, s_cap: int | None = None,
+    tiers=None,
 ) -> tuple[int, ...]:
     """Bucketed layout tuple (dec_end, p_start, p_end, s_pad, p_pad) for the
     scheduled sequences.  Segment boundaries are part of the jit cache key,
@@ -159,12 +170,14 @@ def step_layout(
       * the prefill segment always extends to the padded buffer end
         (p_end = t_pad; tail tiles are inert), removing the tile count from
         the cache key,
-      * s_pad uses the lane ladder of ``seq_pad`` (8 / ~cap/4 / cap).
+      * s_pad uses the lane ladder of ``seq_pad`` (powers of two, 8..cap),
+        restricted to ``tiers`` when the runner's background warmup has not
+        yet compiled every tier.
 
     Net cache key: (s_pad, t_pad) — a handful of programs per engine config
     (each first execution costs seconds of compile + device load)."""
     prefill_idx = [i for i, s in enumerate(seqs) if s.num_new_tokens != 1]
-    s_pad = seq_pad(len(seqs), s_cap)
+    s_pad = seq_pad(len(seqs), s_cap, tiers)
     dec_end = s_pad
     n_tiles = sum(
         _round_up(seqs[i].num_new_tokens, PREFILL_TILE) // PREFILL_TILE

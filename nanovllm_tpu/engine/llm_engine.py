@@ -11,8 +11,12 @@ ordering (outputs sorted by seq_id = input order).  Differences:
     de-facto interface).
   * Works without a tokenizer when prompts are token-id lists (random-weight
     bench mode has no checkpoint directory).
+  * ``exit()`` (reference llm_engine.py:120-135) needs no worker shutdown —
+    it drains the in-flight async step and releases the device arrays so a
+    second engine can be constructed in the same process.
 """
 
+import atexit
 import time
 from dataclasses import fields
 
@@ -22,6 +26,13 @@ from nanovllm_tpu.engine.scheduler import Scheduler
 from nanovllm_tpu.engine.sequence import Sequence
 from nanovllm_tpu.sampling_params import SamplingParams
 from nanovllm_tpu.utils.profiling import EngineStats
+
+
+def _exit_weak(ref) -> None:
+    """atexit trampoline: tear down the engine iff it is still alive."""
+    engine = ref()
+    if engine is not None:
+        engine.exit()
 
 
 class LLMEngine:
@@ -44,6 +55,56 @@ class LLMEngine:
         # sequences awaiting their device-side token values before emission
         self._pending = None
         self._finished_buf: list[Sequence] = []
+        self._exited = False
+        # reference llm_engine.py:118 parity: clean teardown on interpreter
+        # exit even when the user never calls exit().  Registered through a
+        # weakref so the hook does NOT keep the engine alive — a strong
+        # atexit reference pinned every engine (and its device arrays) for
+        # the life of the process.
+        import weakref
+
+        atexit.register(_exit_weak, weakref.ref(self))
+
+    # -- lifecycle ------------------------------------------------------------
+
+    def wait_for_warmup(self) -> None:
+        """Block until the background lane-tier compile finishes.
+
+        Serving deployments need not call this (steps route to ready tiers);
+        offline benchmarks should, so compile RPCs don't contend with the
+        timed section (model_runner.wait_warm)."""
+        self.model_runner.wait_warm()
+
+    def exit(self) -> None:
+        """Deterministic teardown (reference llm_engine.py:120-135 parity).
+
+        Drains the in-flight async step (its sampled tokens are applied, so
+        no KV accounting is left dangling), prints collected stats, and
+        releases the KV cache / parameter device arrays — freeing HBM so a
+        second engine can be constructed in the same process.  Idempotent;
+        also registered atexit.  The single-controller design has no worker
+        processes, shared memory, or process groups to tear down.
+        """
+        if self._exited:
+            return
+        self._exited = True
+        try:
+            self._drain_pending()
+        except Exception:
+            pass  # teardown must not raise on a wedged in-flight step
+        if self.stats.enabled:
+            import sys
+
+            print(self.stats.summary(), file=sys.stderr)
+        self.model_runner.release()
+        # the weakref atexit hook stays registered; exit() is idempotent
+
+    def __enter__(self) -> "LLMEngine":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.exit()
+        return False
 
     @staticmethod
     def _load_tokenizer(model: str):

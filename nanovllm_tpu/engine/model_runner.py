@@ -227,6 +227,14 @@ class ModelRunner:
         # consumes every group's tokens in the lockstep design — so the
         # feedback operand is replicated too.
         self._s_cap = seq_pad(config.max_num_seqs, config.max_num_seqs)
+        # Lane tiers whose programs are compiled and safe to route to.
+        # None = no restriction (warmup disabled, or every tier warmed);
+        # warmup_buckets narrows this to {8, cap} and a background thread
+        # re-adds mid tiers as their compiles land (cold-start vs ladder
+        # reconciliation — see lane_ladder).
+        self._tiers_ready: set[int] | None = None
+        self._warm_thread = None
+        self._shutdown = False
         self._step = self._build_step()
         self._burst = self._build_burst()
         self._score = self._build_score()
@@ -817,6 +825,16 @@ class ModelRunner:
         """
         from concurrent.futures import ThreadPoolExecutor
 
+        if not jax.config.jax_compilation_cache_dir:
+            import sys
+
+            print(
+                "[nanovllm_tpu] warning: jax_compilation_cache_dir is unset —"
+                " the parallel-compile phase cannot hand its executables to"
+                " the serial warmup, so every program will compile twice"
+                " (set compilation_cache_dir to roughly halve cold start)",
+                file=sys.stderr,
+            )
         t0 = time.perf_counter()
         params_sds = jax.tree.map(
             lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding),
@@ -900,16 +918,31 @@ class ModelRunner:
 
         bs = self.config.kvcache_block_size
         s_cap = self.config.max_num_seqs
-        s_pads = lane_ladder(s_cap)
+        ladder = lane_ladder(s_cap)
+        # Serving readiness needs only the smallest and largest tiers: every
+        # step routes to the nearest READY tier (seq_pad(tiers=...)), so mid
+        # tiers are a perf refinement, not a correctness requirement.  They
+        # compile in a background thread after this returns and join
+        # _tiers_ready as they land (their first real execution pays only
+        # executable load, ~0.5s — compile is the 10-18s part).  Rationale:
+        # the full power-of-two ladder at cap 256 is ~40 programs; warming
+        # all of them doubled the driver-recorded cold start in round 3.
+        eager_tiers = {ladder[0], ladder[-1]}
+        s_pads = sorted(eager_tiers)
+        self._bg_tiers = [s for s in ladder if s not in eager_tiers]
         t_max = bucket(max(self.config.max_num_batched_tokens, PREFILL_TILE))
-        layouts = []
-        for s in s_pads:
-            layouts.append((s, s, s, s, self._p_pad))  # pure-decode step
+
+        def tier_layouts(s):
+            out = [(s, s, s, s, self._p_pad)]  # pure-decode step
             ps = round_up(s, PREFILL_TILE)
             t = bucket(ps + PREFILL_TILE)
             while t <= t_max:
-                layouts.append((s, ps, t, s, self._p_pad))  # prefill/mixed
+                out.append((s, ps, t, s, self._p_pad))  # prefill/mixed
                 t *= 2
+            return out
+
+        self._tier_layouts = tier_layouts
+        layouts = [l for s in s_pads for l in tier_layouts(s)]
         w_pow = self.config.decode_burst
         if w_pow >= 2:
             w_pow = 1 << (w_pow.bit_length() - 1)
@@ -962,6 +995,80 @@ class ModelRunner:
             f"load/first-run {time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
         )
+        self._tiers_ready = set(s_pads)
+        if self._bg_tiers and jax.process_count() == 1:
+            # Mid tiers compile off the serving path.  Multi-process engines
+            # skip this: every controller must dispatch identical programs,
+            # and per-process readiness timing would diverge the routing —
+            # they warm the full ladder eagerly instead.
+            import threading
+
+            self._warm_thread = threading.Thread(
+                target=self._warm_mid_tiers, args=(w_pow,), daemon=True,
+                name="nvt-warm-tiers",
+            )
+            self._warm_thread.start()
+        elif self._bg_tiers:
+            mid = [l for s in self._bg_tiers for l in tier_layouts(s)]
+            self._precompile_parallel(mid, w_pow)
+            self._tiers_ready = set(self._tiers_ready) | set(self._bg_tiers)
+
+    def _warm_mid_tiers(self, w_pow: int) -> None:
+        """Background compile of the mid lane tiers, smallest first (the
+        drain regime empties lanes downward).  Each tier joins _tiers_ready
+        as soon as ITS programs are compiled; its first execution pays only
+        executable load (~0.5s), taken as a one-time blip on the serving
+        path instead of 10-18s/program of cold start.  Compile-only: a
+        background warmup EXECUTION would scribble garbage K/V into pages
+        that may by then belong to live requests."""
+        import sys
+
+        t0 = time.perf_counter()
+        for s in self._bg_tiers:
+            if self._shutdown:
+                return
+            try:
+                self._precompile_parallel(self._tier_layouts(s), w_pow)
+            except RuntimeError:
+                # interpreter shutdown while compiles were in flight
+                return
+            except Exception as e:  # pragma: no cover - compile-path fallback
+                print(
+                    f"[nanovllm_tpu] background tier {s} compile failed "
+                    f"({e!r}); steps keep routing around it",
+                    file=sys.stderr,
+                )
+                continue
+            # copy-on-write: readers hold a stable set (no lock needed)
+            self._tiers_ready = set(self._tiers_ready) | {s}
+        print(
+            f"[nanovllm_tpu] background tier compile done: ladder "
+            f"{sorted(self._tiers_ready)} ready "
+            f"({time.perf_counter() - t0:.1f}s)",
+            file=sys.stderr,
+        )
+
+    def wait_warm(self) -> None:
+        """Block until the background tier compile (if any) finishes.
+
+        Offline benchmarks call this between init and their timed section so
+        mid-tier compile RPCs don't contend with measurement (observed -35%
+        tok/s when they overlap); a serving deployment instead starts at
+        init-ready and absorbs the per-tier first-load blips."""
+        if self._warm_thread is not None:
+            self._warm_thread.join()
+            self._warm_thread = None
+
+    def release(self) -> None:
+        """Drop the device-array references (KV cache, params, feedback) so
+        their HBM is reclaimed — LLMEngine.exit()'s data-plane half.  The
+        background warm thread is told to stop at its next tier boundary
+        (joining it could block teardown on a multi-second compile RPC)."""
+        self._shutdown = True
+        self._warm_thread = None
+        self.kv_pages = None
+        self.params = None
+        self._fb = None
 
     # -- per-step execution ---------------------------------------------------
 
@@ -976,7 +1083,8 @@ class ModelRunner:
         groups = self._group_indices(seqs)
         s_cap = self.config.max_num_seqs
         layout = merge_layouts(
-            [step_layout([seqs[i] for i in grp], bs, s_cap) for grp in groups]
+            [step_layout([seqs[i] for i in grp], bs, s_cap,
+                         tiers=self._tiers_ready) for grp in groups]
         )
         layout = layout[:4] + (self._p_pad,)
         batches, sampled, lane_of = [], [], {}
@@ -1010,7 +1118,8 @@ class ModelRunner:
         """Dispatch a W-step decode burst without fetching its results."""
         t0 = time.perf_counter()
         groups = self._group_indices(seqs)
-        s_pad = seq_pad(max(len(grp) for grp in groups), self.config.max_num_seqs)
+        s_pad = seq_pad(max(len(grp) for grp in groups),
+                        self.config.max_num_seqs, tiers=self._tiers_ready)
         p_pad = self._p_pad
         tp = np.zeros((self.dp, 3, s_pad), np.int32)
         tp[:, 1] = -1  # pad lanes: no KV write

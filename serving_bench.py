@@ -230,6 +230,9 @@ def main():
         SamplingParams(temperature=0.6, ignore_eos=True, max_tokens=16),
         use_tqdm=False,
     )
+    # measurement run: take the full lane ladder (a live deployment would
+    # instead serve immediately and absorb per-tier first-load blips)
+    engine.wait_for_warmup()
 
     rates = (
         [float(r) for r in args.sweep.split(",")] if args.sweep

@@ -121,3 +121,41 @@ class TestOnlineAPI:
         for out in outs:
             assert len(out["token_ids"]) == 5
             assert all(0 <= t < 128 for t in out["token_ids"])
+
+
+class TestTeardown:
+    """exit() / context-manager parity (reference llm_engine.py:120-135)."""
+
+    def test_exit_then_second_engine_same_process(self, tiny_ckpt, hf_greedy):
+        path, _ = tiny_ckpt
+        llm = make_llm(path)
+        out1 = llm.generate(
+            PROMPTS[:1],
+            SamplingParams(temperature=0, max_tokens=MAX_TOKENS),
+            use_tqdm=False,
+        )
+        llm.exit()
+        # device arrays released, teardown idempotent
+        assert llm.model_runner.kv_pages is None
+        assert llm.model_runner.params is None
+        llm.exit()
+        # a second engine constructs and generates in the same process
+        with make_llm(path) as llm2:
+            out2 = llm2.generate(
+                PROMPTS[:1],
+                SamplingParams(temperature=0, max_tokens=MAX_TOKENS),
+                use_tqdm=False,
+            )
+        assert llm2.model_runner.kv_pages is None  # __exit__ ran exit()
+        expected = hf_greedy(PROMPTS[0])
+        assert out1[0]["token_ids"] == expected
+        assert out2[0]["token_ids"] == expected
+
+    def test_exit_drains_inflight_async_step(self, tiny_ckpt):
+        path, _ = tiny_ckpt
+        llm = make_llm(path, async_scheduling=True)
+        llm.add_request(PROMPTS[0], SamplingParams(temperature=0, max_tokens=4))
+        llm.step()  # dispatch; tokens still in flight
+        assert llm._pending is not None
+        llm.exit()  # must drain, not orphan, the handle
+        assert llm._pending is None

@@ -80,9 +80,12 @@ def main():
     ap.add_argument("--seqs", type=int, default=4)
     ap.add_argument("--max-model-len", type=int, default=32768)
     ap.add_argument("--check", action="store_true",
-                    help="rerun through the jnp oracle and assert equality")
+                    help="rerun with a different prefill chunking and assert "
+                         "greedy token equality")
     args = ap.parse_args()
-    assert args.ctx + args.decode <= args.max_model_len
+    # prompts are skewed +37*i per sequence (see run()), so bound the LAST one
+    assert (args.ctx + 37 * (args.seqs - 1) + args.decode
+            <= args.max_model_len), "longest sequence exceeds max_model_len"
 
     os.environ.setdefault("NVT_STATS", "1")
     from bench import GEOMETRIES
