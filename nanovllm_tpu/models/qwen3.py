@@ -69,6 +69,9 @@ class ModelSpec:
     tp_size: int = 1
     qk_norm: bool = True          # Qwen3 per-head QK RMSNorm
     attention_bias: bool = False  # Qwen2-style qkv bias
+    # Mistral sliding-window attention: a token at position p attends kv
+    # positions [max(0, p+1-W), p+1).  None = full causal.
+    sliding_window: int | None = None
 
     @classmethod
     def from_hf(cls, hf_config, tp_size: int = 1, dtype: str = "bfloat16"):
@@ -85,8 +88,7 @@ class ModelSpec:
         attn_bias = bool(getattr(hf_config, "attention_bias", attn_bias))
         sw = getattr(hf_config, "sliding_window", None)
         use_sw = bool(getattr(hf_config, "use_sliding_window", model_type == "mistral"))
-        if sw and use_sw:
-            raise ValueError("sliding-window attention is not supported")
+        sliding_window = int(sw) if (sw and use_sw) else None
         spec = cls(
             num_layers=hf_config.num_hidden_layers,
             hidden_size=hf_config.hidden_size,
@@ -102,6 +104,7 @@ class ModelSpec:
             tp_size=tp_size,
             qk_norm=qk_norm,
             attention_bias=attn_bias,
+            sliding_window=sliding_window,
         )
         assert spec.num_heads % tp_size == 0, "num_heads must divide tp"
         assert spec.num_kv_heads % tp_size == 0, "num_kv_heads must divide tp"
@@ -202,6 +205,7 @@ def decoder_layer(x, layer_params, kv_pages, layer, pages_per_layer, batch,
         q, kv_pages, layer, pages_per_layer, batch.kv_lens, batch.page_indices,
         batch.token_seq, batch.positions, segments,
         sm_scale=spec.sm_scale, impl=attn_impl,
+        sliding_window=spec.sliding_window,
     )
     o = quant_linear(o.reshape(t, spec.q_size_l), lp["o"], impl=attn_impl,
                      layer=layer)

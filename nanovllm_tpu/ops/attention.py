@@ -43,6 +43,7 @@ def ragged_paged_attention_ref(
     positions: jnp.ndarray,    # [T]
     *,
     sm_scale: float,
+    sliding_window: int | None = None,
 ) -> jnp.ndarray:
     from nanovllm_tpu.ops.kv_cache import is_quantized_cache
 
@@ -90,9 +91,11 @@ def ragged_paged_attention_ref(
     scores = jnp.einsum("tkgd,tckd->tkgc", qg, k_t.astype(jnp.float32)) * sm_scale
 
     # causal visibility: a token at absolute position p sees kv slots [0, p+1)
-    visible = (
-        jnp.arange(ctx, dtype=jnp.int32)[None, :] < (positions + 1)[:, None]
-    )
+    # — or [p+1-W, p+1) with a sliding window of W (Mistral)
+    cols = jnp.arange(ctx, dtype=jnp.int32)[None, :]
+    visible = cols < (positions + 1)[:, None]
+    if sliding_window is not None:
+        visible &= cols >= (positions + 1 - sliding_window)[:, None]
     scores = jnp.where(visible[:, None, None, :], scores, MASK_VALUE)
 
     p = jax.nn.softmax(scores, axis=-1)
@@ -113,12 +116,13 @@ def paged_attention(
     *,
     sm_scale: float,
     impl: str = "ref",
+    sliding_window: int | None = None,
 ):
     """Dispatch over the segmented layout; returns [T, nh, hd]."""
     if impl == "ref":
         return ragged_paged_attention_ref(
             q, kv_pages, layer, pages_per_layer, page_indices, token_seq,
-            positions, sm_scale=sm_scale,
+            positions, sm_scale=sm_scale, sliding_window=sliding_window,
         )
     if impl != "pallas":
         raise ValueError(f"unknown attention impl: {impl}")
@@ -133,6 +137,7 @@ def paged_attention(
             q[:dec_end], kv_pages, layer, pages_per_layer, kv_lens,
             page_indices, token_seq[:dec_end], positions[:dec_end],
             sm_scale=sm_scale, q_tile=1, interpret=interpret,
+            sliding_window=sliding_window,
         )
         out = out.at[:dec_end].set(dec)
     if p_end > p_start:
@@ -141,6 +146,7 @@ def paged_attention(
             page_indices, token_seq[p_start:p_end:PREFILL_TILE],
             positions[p_start:p_end:PREFILL_TILE],
             sm_scale=sm_scale, q_tile=PREFILL_TILE, interpret=interpret,
+            sliding_window=sliding_window,
         )
         out = out.at[p_start:p_end].set(pre)
     return out

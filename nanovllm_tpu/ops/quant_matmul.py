@@ -17,6 +17,7 @@ dequantizing the whole tile).
 """
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +26,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 GROUP = 128
+
+# int4 scheme knobs, A/B-able via tools/quality_proxy.py without config
+# plumbing (QUALITY.md records the measurements):
+#   NVT_INT4_GROUP: quant group along K for W4A16 (64 halves the dynamic-
+#     range damage of a 4-bit absmax grid at 2x the scale storage)
+#   NVT_INT4_MSE=1: per-group clip-scan scale selection (argmin round-trip
+#     MSE over scale multipliers) instead of plain absmax
+INT4_GROUP = int(_os.environ.get("NVT_INT4_GROUP", "128"))
+INT4_MSE = _os.environ.get("NVT_INT4_MSE", "0") == "1"
+
+
+def weight_group(int4: bool) -> int:
+    """Effective quant-group width along K for the weight-only schemes."""
+    return INT4_GROUP if int4 else GROUP
 
 
 def _qmm_kernel(*refs, n_k, int4: bool, stacked: bool, native4: bool = False):
@@ -95,6 +110,7 @@ def quant_matmul_pallas(
     scales: jnp.ndarray,  # [K//GROUP, N] float32 (+[L, ...] when stacked)
     *,
     int4: bool = False,
+    group: int = GROUP,   # quant-group width along K (scales rows = K/group)
     layer=None,           # scalar int32 plane index into stacked weights
     # NOTE: the grid is row-major with the T axis outermost, so every T tile
     # past the first re-streams the weights from HBM.  That is fine: at large
@@ -118,7 +134,7 @@ def quant_matmul_pallas(
     t, k = x.shape
     n = w_q.shape[-1]
     k_w = w_q.shape[-2] * (2 if int4 else 1)
-    assert k_w == k and k % GROUP == 0, (k, k_w)
+    assert k_w == k and k % group == 0, (k, k_w, group)
     # pltpu.bitcast (sub-byte reinterpret) has no interpret-mode lowering;
     # CPU tests take the int32-shift unpack with its halved tiles
     native4 = int4 and not interpret and not force_shift
@@ -134,10 +150,10 @@ def quant_matmul_pallas(
     while n % bn:
         bn //= 2
     bk = min(block_k, k)
-    while k % bk or bk % GROUP:
+    while k % bk or bk % group:
         bk //= 2
     n_k = k // bk
-    gpt = bk // GROUP  # quant groups per K tile
+    gpt = bk // group  # quant groups per K tile
 
     grid = (t // bt, n // bn, n_k)
     wk_rows = bk // 2 if int4 else bk
@@ -322,13 +338,22 @@ def quantize_weight_a8(w, group_unused=None):
 # Host-side quantization + jnp reference path
 # ---------------------------------------------------------------------------
 
-def quantize_weight(w, *, int4: bool = False, group: int = GROUP):
+def quantize_weight(w, *, int4: bool = False, group: int | None = None,
+                    mse: bool | None = None):
     """Symmetric group quantization of [..., K, N] along K (numpy).
 
     Returns (w_q int8 [..., K or K//2, N], scales f32 [..., K//group, N]).
+    ``group`` defaults to ``weight_group(int4)`` (env-tunable for int4);
+    ``mse`` (int4 default: NVT_INT4_MSE) replaces the absmax scale with a
+    per-group clip scan minimizing round-trip squared error — absmax wastes
+    the 15-level int4 grid on the group's single largest element.
     """
     import numpy as np
 
+    if group is None:
+        group = weight_group(int4)
+    if mse is None:
+        mse = INT4_MSE and int4
     *lead, k, n = w.shape
     assert k % group == 0, (k, group)
     qmax = 7.0 if int4 else 127.0
@@ -338,6 +363,19 @@ def quantize_weight(w, *, int4: bool = False, group: int = GROUP):
         t = torch.from_numpy(np.ascontiguousarray(w, dtype=np.float32))
         grouped = t.reshape(*lead, k // group, group, n)
         scales = (grouped.abs().amax(dim=-2) / qmax).clamp_min(1e-8)
+        if mse:
+            best_s, best_e = scales, None
+            for c in (1.0, 0.95, 0.9, 0.85, 0.8, 0.75, 0.7, 0.65):
+                s = scales * c
+                qq = torch.round(grouped / s.unsqueeze(-2)).clamp(-qmax, qmax)
+                e = ((qq * s.unsqueeze(-2) - grouped) ** 2).sum(dim=-2)
+                if best_e is None:
+                    best_e, best_s = e, s
+                else:
+                    pick = e < best_e
+                    best_e = torch.minimum(best_e, e)
+                    best_s = torch.where(pick, s, best_s)
+            scales = best_s.clamp_min(1e-8)
         q = (
             torch.round(grouped / scales.unsqueeze(-2))
             .clamp(-qmax, qmax)
@@ -346,11 +384,24 @@ def quantize_weight(w, *, int4: bool = False, group: int = GROUP):
             .numpy()
         )
         scales = scales.numpy()
-    except ImportError:  # pragma: no cover
+    except ImportError:  # pragma: no cover - torch is baked into this image
         wf = np.asarray(w, dtype=np.float32)
         grouped = wf.reshape(*lead, k // group, group, n)
         scales = np.abs(grouped).max(axis=-2) / qmax      # [..., K/g, N]
         scales = np.maximum(scales, 1e-8)
+        if mse:
+            best_s, best_e = scales, None
+            for c in (1.0, 0.95, 0.9, 0.85, 0.8, 0.75, 0.7, 0.65):
+                s = scales * c
+                qq = np.rint(grouped / s[..., None, :]).clip(-qmax, qmax)
+                e = ((qq * s[..., None, :] - grouped) ** 2).sum(axis=-2)
+                if best_e is None:
+                    best_e, best_s = e, s
+                else:
+                    pick = e < best_e
+                    best_e = np.minimum(best_e, e)
+                    best_s = np.where(pick, s, best_s)
+            scales = np.maximum(best_s, 1e-8)
         q = np.rint(grouped / scales[..., None, :]).clip(-qmax, qmax)
         q = q.reshape(*lead, k, n).astype(np.int8)
         scales = scales.astype(np.float32)
@@ -422,10 +473,15 @@ def quant_linear(x: jnp.ndarray, w, *, impl: str = "ref", layer=None) -> jnp.nda
             preferred_element_type=jnp.int32,
         )
         return (prod.astype(jnp.float32) * sx * w["s"][None, :]).astype(x.dtype)
-    int4 = w["w"].shape[-2] != w["s"].shape[-2] * GROUP
+    # weight-row / scale-row ratio identifies the scheme without static
+    # tags: 128 = int8 g128; 64 = packed int4 g128; 32 = packed int4 g64
+    r = w["w"].shape[-2] // w["s"].shape[-2]
+    int4 = r < GROUP
+    group = 2 * r if int4 else GROUP
     if impl == "pallas":
         return quant_matmul_pallas(
-            x, w["w"], w["s"], int4=int4, layer=layer if stacked else None,
-            interpret=interpret,
+            x, w["w"], w["s"], int4=int4, group=group,
+            layer=layer if stacked else None, interpret=interpret,
         )
-    return x @ dequant_weight(w["w"], w["s"], int4=int4, dtype=x.dtype)
+    return x @ dequant_weight(w["w"], w["s"], int4=int4, group=group,
+                              dtype=x.dtype)

@@ -109,6 +109,7 @@ def _attn_kernel(
     group: int,
     q_tile: int,
     kv_int8: bool,
+    window: int | None = None,
 ):
     if kv_int8:
         q_ref, kv_ref, scale_ref, out_ref, m_ref, l_ref, acc_ref = refs
@@ -149,6 +150,9 @@ def _attn_kernel(
         col = lax.broadcasted_iota(jnp.int32, (qg, page_size), 1) + b * page_size
         limit = jnp.minimum(tile_kvpos_ref[t] + row_tok + 1, kv_len)
         mask = col < limit                             # [QG, page]
+        if window is not None:
+            # sliding window: row sees [max(0, p+1-W), p+1)
+            mask &= col >= tile_kvpos_ref[t] + row_tok + 1 - window
 
         # static loop over local kv heads: plain 2D matmuls (Mosaic requires
         # dot_general batch dims at equal positions, so no batched form here)
@@ -214,6 +218,7 @@ def _decode_kernel(
     group: int = 1,
     kv_int4: bool = False,
     tpp: int = 2,
+    window: int | None = None,
 ):
     """Decode-mode kernel: grid (num_tiles,), one token's q heads per tile.
 
@@ -266,6 +271,22 @@ def _decode_kernel(
     num_groups = pl.cdiv(num_blocks, npp)
     layer = layer_ref[0]
     gp = npp * page_size  # kv columns per group
+
+    # Sliding window (Mistral): a token at position p sees kv columns
+    # [max(0, p+1-W), p+1).  ``lo_t`` = the tile's FIRST row's lower bound;
+    # the page walk starts at its group (g0 <= nfull always: lo <= limit-1),
+    # and sub_step masks columns below each row's own bound.
+    if window is None:
+        lo_t = None
+        g0 = jnp.int32(0)
+    else:
+        lo_t = jnp.maximum(tile_kvpos_ref[t] + 1 - window, 0)
+        g0 = lo_t // gp
+
+    def g0_of(tt):
+        if window is None:
+            return jnp.int32(0)
+        return jnp.maximum(tile_kvpos_ref[tt] + 1 - window, 0) // gp
 
     def nblocks_of(tt):
         lim = jnp.clip(
@@ -353,7 +374,7 @@ def _decode_kernel(
         tis = jnp.minimum(ti, nt - 1)
         in_lane = gi + 1 < groups_of(tis)
         nti = jnp.where(in_lane, ti, nxt_ref[jnp.minimum(ti + 1, nt)])
-        ngi = jnp.where(in_lane, gi + 1, 0)
+        ngi = jnp.where(in_lane, gi + 1, g0_of(jnp.minimum(nti, nt - 1)))
         return (
             jnp.where(ti < nt, nti, nt),
             jnp.where(ti < nt, ngi, 0),
@@ -366,7 +387,7 @@ def _decode_kernel(
         def _prime():
             par_ref[0] = 0
             ti = nxt_ref[0]
-            gi = jnp.int32(0)
+            gi = g0_of(jnp.minimum(ti, nt - 1))
             for k in range(ring - 1):
                 ti, gi = issue_and_advance(jnp.int32(k), ti, gi)
             par_ref[1] = ti
@@ -421,6 +442,10 @@ def _decode_kernel(
             qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
             row_tok = lax.broadcasted_iota(jnp.int32, (qg, 1), 0) // group
             row_lim = jnp.minimum(tile_kvpos_ref[t] + row_tok + 1, kv_len)
+            if window is not None:
+                row_lo = jnp.maximum(
+                    tile_kvpos_ref[t] + row_tok + 1 - window, 0
+                )
 
         def stack_scales(sc, first):
             # [2kvh, W] -> [r, W] rows grouped per head; int8 scale rows are
@@ -454,6 +479,8 @@ def _decode_kernel(
                 v_mat = kv_raw[1].reshape(w, bd_width).astype(q.dtype)
             col = lax.broadcasted_iota(jnp.int32, (1, w), 1) + col0
             mask = col < limit                              # [1, W]
+            if window is not None:
+                mask &= col >= lo_t
 
             scores = lax.dot_general(
                 q_bd, k_mat,
@@ -531,6 +558,8 @@ def _decode_kernel(
                 v_allm = kv_raw[1].reshape(gp, kvh * hd)
             col = lax.broadcasted_iota(jnp.int32, (1, gp), 1) + col0
             mask = col < row_lim                            # [qg, gp]
+            if window is not None:
+                mask &= col >= row_lo
             ms, ls, accs = [], [], []
             for h in range(kvh):
                 # head h = lane columns [h*hd, (h+1)*hd): 128-aligned lane
@@ -580,7 +609,8 @@ def _decode_kernel(
             acc0 = jnp.zeros((r, hd), jnp.float32)
             init = (m0, l0, acc0)
             if not (xlane and 0 < tpp < npp):
-                m, l, acc = lax.fori_loop(0, num_groups, body, init)
+                start_g = g0 if xlane else jnp.int32(0)
+                m, l, acc = lax.fori_loop(start_g, num_groups, body, init)
             else:
                 # Tail-proportional compute: FULL npp-page groups run the wide
                 # sub_step; the final partial group (if any) is consumed in
@@ -591,7 +621,7 @@ def _decode_kernel(
                 # Two sequential fori_loops carry (m, l, acc) as plain values —
                 # no lax.cond around softmax state (see NOTE above).
                 nfull = limit // gp
-                m, l, acc = lax.fori_loop(0, nfull, body, init)
+                m, l, acc = lax.fori_loop(g0, nfull, body, init)
                 ntail_steps = pl.cdiv(num_blocks - nfull * npp, tpp)
 
                 def tail_body(j, carry):
@@ -639,6 +669,7 @@ def ragged_paged_attention_pallas(
     sm_scale: float,
     q_tile: int,
     interpret: bool = False,
+    sliding_window: int | None = None,
 ) -> jnp.ndarray:
     from nanovllm_tpu.ops.kv_cache import is_quantized_cache
 
@@ -748,6 +779,7 @@ def ragged_paged_attention_pallas(
             group=group,
             kv_int4=kv_int4,
             tpp=DECODE_TAIL_TPP,
+            window=sliding_window,
         )
         out = pl.pallas_call(
             kernel,
@@ -818,6 +850,7 @@ def ragged_paged_attention_pallas(
         group=group,
         q_tile=q_tile,
         kv_int8=kv_int8,
+        window=sliding_window,
     )
     out = pl.pallas_call(
         kernel,

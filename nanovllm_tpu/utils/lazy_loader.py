@@ -32,9 +32,9 @@ import numpy as np
 
 from nanovllm_tpu.models.qwen3 import ModelSpec
 from nanovllm_tpu.ops.quant_matmul import (
-    GROUP,
     quantize_weight,
     quantize_weight_a8,
+    weight_group,
 )
 from nanovllm_tpu.utils.loader import QUANTIZED_LAYER_WEIGHTS, _np_dtype
 
@@ -187,23 +187,24 @@ def _quant_pair(base: LazyLeaf, mode: str):
         )[1][:, 0, :])
         return {"w": w, "s": s}
     int4 = mode == "int4"
+    group = weight_group(int4)
     rows = k // 2 if int4 else k
     mult = 2 if int4 else 1
 
     def fetch_w(r):
         (l0, l1), (k0, k1), (n0, n1) = r
         blk = base[l0:l1, k0 * mult:k1 * mult, n0:n1]
-        assert blk.shape[1] % GROUP == 0, "weight slice must cover whole groups"
+        assert blk.shape[1] % group == 0, "weight slice must cover whole groups"
         return quantize_weight(blk, int4=int4)[0]
 
     def fetch_s(r):
         (l0, l1), (g0, g1), (n0, n1) = r
-        blk = base[l0:l1, g0 * GROUP:g1 * GROUP, n0:n1]
+        blk = base[l0:l1, g0 * group:g1 * group, n0:n1]
         return quantize_weight(blk, int4=int4)[1]
 
     return {
         "w": LazyLeaf((L, rows, n), np.int8, fetch_w),
-        "s": LazyLeaf((L, k // GROUP, n), np.float32, fetch_s),
+        "s": LazyLeaf((L, k // group, n), np.float32, fetch_s),
     }
 
 

@@ -253,3 +253,52 @@ class TestPlaneKVWrite:
             np.testing.assert_allclose(
                 np.asarray(via_scatter), np.asarray(via_planes), rtol=1e-6, atol=1e-6
             )
+
+
+class TestSlidingWindow:
+    """Sliding-window masking + lower-bounded page walk vs the oracle."""
+
+    def test_decode_window_skips_groups(self):
+        # ctx 300 at PAGE 16 / npp 8 -> group width 128 columns; window 40
+        # puts the lower bound at column 260 -> the walk starts at group 2,
+        # exercising the g0 skip, the cross-lane cursor at g0, and the mask
+        rng = np.random.default_rng(7)
+        kv = [300, 135, 17, 1]
+        case = build_case(rng, kv, [1] * len(kv), nh=4, kvh=2, hd=32,
+                          num_pages=40)
+        q, kv_pages, kv_lens, page_indices, token_seq, positions = case
+        for w in (40, 128, 1):
+            ours = ragged_paged_attention_pallas(
+                q, kv_pages, LAYER, PPL, kv_lens, page_indices, token_seq,
+                positions, sm_scale=0.25, q_tile=1, interpret=True,
+                sliding_window=w,
+            )
+            ref = ragged_paged_attention_ref(
+                q, kv_pages, LAYER, PPL, page_indices, token_seq, positions,
+                sm_scale=0.25, sliding_window=w,
+            )
+            np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-5)
+
+    def test_prefill_tile_window(self):
+        rng = np.random.default_rng(8)
+        kv_len, q_len = 50, 10  # chunked prefill rows at positions 40..49
+        case = build_case(rng, [kv_len], [q_len], nh=4, kvh=2, hd=32)
+        q, kv_pages, kv_lens, page_indices, token_seq, positions = case
+        t_pad = PREFILL_TILE
+        qp = jnp.zeros((t_pad,) + q.shape[1:], q.dtype).at[:q_len].set(q)
+        ts = jnp.zeros(t_pad, jnp.int32).at[:q_len].set(token_seq)
+        pos = jnp.zeros(t_pad, jnp.int32).at[:q_len].set(positions)
+        for w in (7, 33):
+            ours = ragged_paged_attention_pallas(
+                qp, kv_pages, LAYER, PPL, kv_lens, page_indices,
+                ts[::PREFILL_TILE], pos[::PREFILL_TILE],
+                sm_scale=0.25, q_tile=PREFILL_TILE, interpret=True,
+                sliding_window=w,
+            )
+            ref = ragged_paged_attention_ref(
+                q, kv_pages, LAYER, PPL, page_indices, token_seq, positions,
+                sm_scale=0.25, sliding_window=w,
+            )
+            np.testing.assert_allclose(np.asarray(ours)[:q_len],
+                                       np.asarray(ref), rtol=2e-5, atol=2e-5)

@@ -107,3 +107,30 @@ def test_qwen2_greedy_matches_hf(qwen2_ckpt):
     ours = our_greedy(path, cfg, prompt, 12)
     theirs = hf_greedy(path, prompt, 12)
     assert ours == theirs
+
+
+@pytest.fixture(scope="module")
+def mistral_ckpt(tmp_path_factory):
+    from tests.util_tiny_model import make_tiny_mistral
+
+    path = str(tmp_path_factory.mktemp("tiny_mistral"))
+    # window 6 << prompt + decode length, so the band genuinely binds
+    cfg = make_tiny_mistral(path, sliding_window=6)
+    return path, cfg
+
+
+def test_mistral_spec_has_sliding_window(mistral_ckpt):
+    _, cfg = mistral_ckpt
+    spec = ModelSpec.from_hf(cfg)
+    assert spec.sliding_window == 6
+    assert not spec.qk_norm and not spec.attention_bias
+
+
+def test_mistral_sliding_window_greedy_matches_hf(mistral_ckpt):
+    """Greedy parity vs HF with an ACTIVE sliding window: positions run past
+    3x the window, so full-causal attention would produce different tokens."""
+    path, cfg = mistral_ckpt
+    prompt = [3, 17, 99, 5, 42, 7, 23, 88, 11, 64]
+    ours = our_greedy(path, cfg, prompt, 12)
+    theirs = hf_greedy(path, prompt, 12)
+    assert ours == theirs

@@ -217,3 +217,50 @@ class TestQuantizedEngine:
             use_tqdm=False,
         )[0]
         assert len(out["token_ids"]) == 6
+
+
+class TestInt4Schemes:
+    """W4A16 scheme variants: group width + MSE-optimal scales (VERDICT r3:
+    attack int4 quality — these are the implementable-without-checkpoints
+    levers, measured on-device by tools/quality_proxy.py)."""
+
+    def test_group64_roundtrip_beats_group128(self):
+        rng = np.random.default_rng(3)
+        w = rng.standard_normal((512, 256)).astype(np.float32) * 0.1
+
+        def rt_err(group, mse):
+            q, s = quantize_weight(w, int4=True, group=group, mse=mse)
+            deq = np.asarray(dequant_weight(
+                jnp.asarray(q), jnp.asarray(s), int4=True, group=group,
+                dtype=jnp.float32,
+            ))
+            return float(((deq - w) ** 2).mean())
+
+        e128 = rt_err(128, False)
+        e64 = rt_err(64, False)
+        e128m = rt_err(128, True)
+        e64m = rt_err(64, True)
+        assert e64 < e128
+        assert e128m < e128
+        assert e64m < e64
+
+    @pytest.mark.parametrize("group", [64, 128])
+    def test_quant_linear_detects_group_from_shapes(self, group):
+        """quant_linear's ratio detection must route group-64 int4 weights
+        through the kernel with the right scale granularity."""
+        rng = np.random.default_rng(4)
+        t, k, n = 8, 256, 128
+        w = rng.standard_normal((k, n)).astype(np.float32) * 0.1
+        q, s = quantize_weight(w, int4=True, group=group, mse=False)
+        x = jnp.asarray(rng.standard_normal((t, k)).astype(np.float32))
+        got_ref = np.asarray(quant_linear(
+            x, {"w": jnp.asarray(q), "s": jnp.asarray(s)}, impl="ref"))
+        got_pallas = np.asarray(quant_linear(
+            x, {"w": jnp.asarray(q), "s": jnp.asarray(s)}, impl="pallas"))
+        deq = np.asarray(dequant_weight(
+            jnp.asarray(q), jnp.asarray(s), int4=True, group=group,
+            dtype=jnp.float32,
+        ))
+        want = np.asarray(x) @ deq
+        np.testing.assert_allclose(got_ref, want, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(got_pallas, want, rtol=2e-2, atol=2e-2)

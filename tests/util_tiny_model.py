@@ -111,3 +111,38 @@ def make_tiny_qwen2(
     os.makedirs(dirpath, exist_ok=True)
     model.save_pretrained(dirpath, safe_serialization=True)
     return cfg
+
+
+def make_tiny_mistral(
+    dirpath: str,
+    *,
+    hidden=64,
+    layers=2,
+    heads=4,
+    kv_heads=2,
+    intermediate=96,
+    vocab=128,
+    max_pos=512,
+    sliding_window=6,
+    seed=0,
+):
+    import torch
+    from transformers import MistralConfig, MistralForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = MistralConfig(
+        hidden_size=hidden,
+        num_hidden_layers=layers,
+        num_attention_heads=heads,
+        num_key_value_heads=kv_heads,
+        intermediate_size=intermediate,
+        vocab_size=vocab,
+        max_position_embeddings=max_pos,
+        sliding_window=sliding_window,
+        rope_theta=10000.0,
+        rms_norm_eps=1e-6,
+    )
+    model = MistralForCausalLM(cfg).eval()
+    os.makedirs(dirpath, exist_ok=True)
+    model.save_pretrained(dirpath, safe_serialization=True)
+    return cfg

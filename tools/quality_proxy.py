@@ -101,7 +101,7 @@ def mode_a(geom, n_tokens, prompt_len):
     return rows
 
 
-def mode_b_kl(geom, n_tokens, impl="ref"):
+def mode_b_kl(geom, n_tokens, impl="ref", only=None):
     """Exact per-position KL(bf16 || quant) over the full vocab.
 
     ``impl="pallas"`` routes the prefill pass through the production TPU
@@ -130,15 +130,18 @@ def mode_b_kl(geom, n_tokens, impl="ref"):
     tokens = rng.integers(0, 10000, n_tokens).astype(np.int32)
 
     def kv_zeros(kv_dtype):
-        shape = (spec.num_layers * num_pages, page, 2 * spec.num_kv_heads,
-                 spec.head_dim)
+        # split-plane 3D cache (ops/kv_cache.py): K at plane 2*gp, V at
+        # 2*gp + 1, head rows flattened; KV4 packs both in one plane
+        lp = spec.num_layers * num_pages
+        d = spec.num_kv_heads * spec.head_dim
         if kv_dtype in ("int8", "int4"):
-            h = shape[2] // 2 if kv_dtype == "int4" else shape[2]
+            planes = 1 if kv_dtype == "int4" else 2
             return {
-                "data": jnp.zeros(shape[:2] + (h, shape[3]), jnp.int8),
-                "scale": jnp.zeros((shape[0], shape[2], page), jnp.float32),
+                "data": jnp.zeros((planes * lp, page, d), jnp.int8),
+                "scale": jnp.zeros(
+                    (lp, 2 * spec.num_kv_heads, page), jnp.float32),
             }
-        return jnp.zeros(shape, jnp.bfloat16)
+        return jnp.zeros((2 * lp, page, d), jnp.bfloat16)
 
     batch = StepBatch(
         token_ids=jnp.asarray(tokens),
@@ -170,6 +173,8 @@ def mode_b_kl(geom, n_tokens, impl="ref"):
     lp_ref = logprobs(base, "auto")
     rows = []
     for name, quant, kv in CONFIGS:
+        if only and name not in only:
+            continue
         qp = quantize_params(dict(base), quant, tp=1)
         lp_q = logprobs(qp, kv)
         kl = (np.exp(lp_ref) * (lp_ref - lp_q)).sum(axis=1)
@@ -193,6 +198,8 @@ def main():
     ap.add_argument("--tokens", type=int, default=None)
     ap.add_argument("--prompt-len", type=int, default=64)
     ap.add_argument("--kl", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated config names to run (--kl mode)")
     ap.add_argument("--impl", default="ref", choices=["ref", "pallas"],
                     help="attention/matmul backend for --kl (pallas = the "
                     "production TPU kernels; mode A always runs the full "
@@ -204,7 +211,8 @@ def main():
 
     geom = _hf_cfg(**GEOMETRIES.get(args.geom, QWEN3_0_6B))
     if args.kl:
-        mode_b_kl(geom, args.tokens or 256, impl=args.impl)
+        only = set(args.only.split(",")) if args.only else None
+        mode_b_kl(geom, args.tokens or 256, impl=args.impl, only=only)
     else:
         mode_a(geom, args.tokens or 1024, args.prompt_len)
 

@@ -6,7 +6,8 @@ fixed (live_lanes, ctx) point, so every traced device op belongs to the
 burst program.  Prints per-op device time and the per-iteration budget.
 
 Env knobs: NVT_LANES (live lanes, default 128), NVT_CTX (context length,
-default 1024), NVT_REPS (bursts to trace, default 4), NVT_BLOCK, NVT_BURST.
+default 1024), NVT_REPS (bursts to trace, default 4), NVT_BLOCK, NVT_BURST,
+NVT_GEOM (0.6b default; 4b/8b/14b = bench.py geometries), NVT_QUANT, NVT_KV.
 """
 
 import glob
@@ -25,20 +26,22 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
     from __graft_entry__ import QWEN3_0_6B, _hf_cfg
+    from bench import GEOMETRIES
     from nanovllm_tpu.config import Config
     from nanovllm_tpu.engine.model_runner import ModelRunner
     from nanovllm_tpu.engine.sequence import Sequence
     from nanovllm_tpu.sampling_params import SamplingParams
 
+    geom = GEOMETRIES.get(os.environ.get("NVT_GEOM", "0.6b"), QWEN3_0_6B)
     lanes = int(os.environ.get("NVT_LANES", 128))
     ctx = int(os.environ.get("NVT_CTX", 1024))
     reps = int(os.environ.get("NVT_REPS", 4))
     block = int(os.environ.get("NVT_BLOCK", 128))
     w = int(os.environ.get("NVT_BURST", 16))
 
-    hf = _hf_cfg(**QWEN3_0_6B)
+    hf = _hf_cfg(**geom)
     config = Config(
-        hf_config=hf, random_weights=True, dtype="bfloat16",
+        hf_config=hf, random_weights="fast", dtype="bfloat16",
         quantization=os.environ.get("NVT_QUANT", "int8"),
         kv_cache_dtype=os.environ.get("NVT_KV", "int8"),
         max_model_len=4096, max_num_batched_tokens=2048,
