@@ -37,7 +37,9 @@ class TestQuantizeRoundtrip:
     def test_int4_roundtrip_error_small(self):
         rng = np.random.default_rng(1)
         w = rng.standard_normal((2 * GROUP, 64)).astype(np.float32) * 0.05
-        q, s = quantize_weight(w, int4=True)
+        # absmax scales: the half-step error bound below only holds without
+        # the (default) MSE clip scan, which trades outlier error for bulk
+        q, s = quantize_weight(w, int4=True, group=GROUP, mse=False)
         assert q.shape == (GROUP, 64)  # packed two per byte
         wd = np.asarray(dequant_weight(jnp.asarray(q), jnp.asarray(s), int4=True,
                                        dtype=jnp.float32))
