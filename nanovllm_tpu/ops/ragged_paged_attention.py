@@ -600,7 +600,15 @@ def _decode_kernel(
             m0 = jnp.full((kvh, qg), -jnp.inf, jnp.float32)
             l0 = jnp.zeros((kvh, qg), jnp.float32)
             acc0 = jnp.zeros((kvh, qg, hd), jnp.float32)
-            m, l, acc = lax.fori_loop(0, num_groups, body, (m0, l0, acc0))
+            # xlane: start consuming at the SAME group the producer starts
+            # issuing at (g0, the window's lower-bound group) — consuming from
+            # 0 while the ring produces from g0 desyncs slot parity whenever a
+            # windowed prefill tile's lower bound crosses a page-group
+            # boundary (each tile then eats items produced for later tiles).
+            # Groups below g0 are invisible to every row of the tile: lo_t is
+            # the tile's minimum lower bound, so skipping them is exact.
+            start_g = g0 if xlane else jnp.int32(0)
+            m, l, acc = lax.fori_loop(start_g, num_groups, body, (m0, l0, acc0))
             denom = jnp.where(l == 0.0, 1.0, l)
             out_ref[0] = (acc / denom[:, :, None]).astype(out_ref.dtype)
         else:
@@ -737,6 +745,14 @@ def ragged_paged_attention_pallas(
         # overflowed scoped VMEM by 36 KB)
         while npp > 1 and ring * npp * page_bytes > 12 * 1024 * 1024:
             npp //= 2
+        # tail-phase width must divide the group width: the tail loop slices
+        # kv_buf[slot, :, j*tpp : (j+1)*tpp] for cdiv(rem, tpp) steps, which
+        # runs past the npp axis when tpp does not divide npp (e.g. tpp 3,
+        # npp 8, 7-page tail -> window [6, 9) on an axis of size 8).  Fall
+        # back to full-width groups (tail phase off) for invalid knob values.
+        tpp = DECODE_TAIL_TPP
+        if tpp > 0 and npp % tpp != 0:
+            tpp = 0
         in_specs = [
             pl.BlockSpec((1, kvh, qg, hd), lambda ti, *_: (ti, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -778,7 +794,7 @@ def ragged_paged_attention_pallas(
             q_tile=q_tile,
             group=group,
             kv_int4=kv_int4,
-            tpp=DECODE_TAIL_TPP,
+            tpp=tpp,
             window=sliding_window,
         )
         out = pl.pallas_call(

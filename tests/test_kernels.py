@@ -280,6 +280,37 @@ class TestSlidingWindow:
             np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                        rtol=2e-5, atol=2e-5)
 
+    def test_prefill_tile_window_g0_past_group(self):
+        """Windowed prefill with >=2 live tiles whose lower bound crosses a
+        page-group boundary (g0 > 0): the cross-lane DMA ring's producer
+        starts each tile's page walk at g0_of(tile), so the perhead consume
+        loop must start there too — starting at group 0 desyncs the ring
+        (regression: max error ~4 vs 8e-7; ADVICE round 4)."""
+        rng = np.random.default_rng(9)
+        kv_len, q_len = 240, 200  # positions 40..239 span 2 tiles of 128
+        case = build_case(rng, [kv_len], [q_len], nh=4, kvh=2, hd=32)
+        q, kv_pages, kv_lens, page_indices, token_seq, positions = case
+        t_pad = 2 * PREFILL_TILE
+        qp = jnp.zeros((t_pad,) + q.shape[1:], q.dtype).at[:q_len].set(q)
+        ts = jnp.zeros(t_pad, jnp.int32).at[:q_len].set(token_seq)
+        pos = jnp.zeros(t_pad, jnp.int32).at[:q_len].set(positions)
+        # window 7: tile 1 (first row position 168) has lower bound 162 ->
+        # group 2 at the default 64-column prefill page group; window 80
+        # lands the bound mid-group-1; both tiles live simultaneously
+        for w in (7, 80):
+            ours = ragged_paged_attention_pallas(
+                qp, kv_pages, LAYER, PPL, kv_lens, page_indices,
+                ts[::PREFILL_TILE], pos[::PREFILL_TILE],
+                sm_scale=0.25, q_tile=PREFILL_TILE, interpret=True,
+                sliding_window=w,
+            )
+            ref = ragged_paged_attention_ref(
+                q, kv_pages, LAYER, PPL, page_indices, token_seq, positions,
+                sm_scale=0.25, sliding_window=w,
+            )
+            np.testing.assert_allclose(np.asarray(ours)[:q_len],
+                                       np.asarray(ref), rtol=2e-5, atol=2e-5)
+
     def test_prefill_tile_window(self):
         rng = np.random.default_rng(8)
         kv_len, q_len = 50, 10  # chunked prefill rows at positions 40..49
