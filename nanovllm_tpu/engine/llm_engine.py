@@ -18,9 +18,11 @@ ordering (outputs sorted by seq_id = input order).  Differences:
 
 import atexit
 import time
+from collections import deque
 from dataclasses import fields
 
 from nanovllm_tpu.config import Config
+from nanovllm_tpu.constants import PREFILL_TILE, round_up as _round_up
 from nanovllm_tpu.engine.model_runner import ModelRunner
 from nanovllm_tpu.engine.scheduler import Scheduler
 from nanovllm_tpu.engine.sequence import Sequence
@@ -246,43 +248,137 @@ class LLMEngine:
         """Per-token log-probabilities (teacher forcing) for each document.
 
         Returns, for each document, logprob(x_i | x_<i) for i = 1..n-1
-        (the first token is unconditioned).  Documents stream through the
-        paged KV cache in budget-sized chunks; the prefix cache is bypassed
-        (fresh blocks, no hash registration) so every position is computed.
+        (the first token is unconditioned).  Documents are BATCHED: as many
+        as fit the KV pool run as concurrent prefill lanes per step, spread
+        round-robin across all dp groups (the retired path ran one document
+        per step on dp group 0 — a WikiText eval serialized its windows).
+        Each step packs budget-sized chunks of every active document; the
+        prefix cache is bypassed (fresh hashless blocks, no hash
+        registration) so every position is computed.
         """
-        self._drain_pending()
-        bm = self.scheduler.block_manager
-        budget = self.config.max_num_batched_tokens
-        results = []
-        for token_ids in token_ids_list:
-            assert len(token_ids) >= 2, "need at least 2 tokens to score"
-            seq = Sequence(token_ids, SamplingParams(),
-                           block_size=self.config.kvcache_block_size)
-            assert bm.can_allocate(len(token_ids)), "document exceeds KV capacity"
-            # fresh hashless blocks through the allocator's own accounting
-            # (reserve_append_block); the prefix cache is deliberately not
-            # consulted or populated — every position must be computed
-            for _ in range(seq.num_blocks):
-                ok = bm.reserve_append_block(seq)
-                assert ok, "document exceeds KV capacity"
-            lps = [0.0] * len(token_ids)
-            try:
-                while seq.num_cached_tokens < len(seq):
-                    chunk = min(budget, len(seq) - seq.num_cached_tokens)
-                    seq.num_new_tokens = chunk
-                    row_lps, batch_np = self.model_runner.run_score([seq])
-                    import numpy as np
+        import numpy as np
 
+        self._drain_pending()
+        sched = self.scheduler
+        block_size = self.config.kvcache_block_size
+        budget = self.config.max_num_batched_tokens
+        dp = self.model_runner.dp
+        lane_cap = self.config.max_num_seqs  # lanes per dp group
+
+        results: list = [None] * len(token_ids_list)
+        queue = deque(enumerate(token_ids_list))
+        active: list[dict] = []   # {idx, seq, lps}
+        rr = 0                    # round-robin dp-group cursor
+        try:
+            while queue or active:
+                # admit documents while blocks + lanes are available
+                while queue:
+                    idx, token_ids = queue[0]
+                    assert len(token_ids) >= 2, "need at least 2 tokens to score"
+                    placed = False
+                    for off in range(dp):
+                        g = (rr + off) % dp
+                        bm = sched.block_managers[g]
+                        lanes_g = sum(
+                            1 for a in active if a["seq"].dp_group == g
+                        )
+                        if lanes_g >= lane_cap or not bm.can_allocate(
+                            len(token_ids)
+                        ):
+                            continue
+                        seq = Sequence(token_ids, SamplingParams(),
+                                       block_size=block_size)
+                        seq.dp_group = g
+                        # fresh hashless blocks through the allocator's own
+                        # accounting (reserve_append_block); the prefix cache
+                        # is deliberately not consulted or populated
+                        for _ in range(seq.num_blocks):
+                            ok = bm.reserve_append_block(seq)
+                            assert ok, "document exceeds KV capacity"
+                        active.append(
+                            {"idx": idx, "seq": seq,
+                             "lps": np.zeros(len(token_ids), np.float64)}
+                        )
+                        queue.popleft()
+                        rr = g + 1
+                        placed = True
+                        break
+                    if not placed:
+                        assert active, "document exceeds KV capacity"
+                        break
+
+                # one step: a budget-sized chunk of every active document
+                # (per-group budgets — each group is its own batch/chips).
+                # Chunk cost is tile-padded, and the lane segment (p_start)
+                # is reserved out of the budget, so p_end lands exactly on
+                # the budget's power-of-two bucket instead of doubling t_pad
+                # (16384-row steps for an 8192 budget measured ~2x slower).
+                from nanovllm_tpu.constants import bucket as _bucket
+
+                lanes_per_g = [0] * dp
+                for a in active:
+                    lanes_per_g[a["seq"].dp_group] += 1
+                budget_left = [
+                    max(budget - _round_up(_bucket(n), PREFILL_TILE),
+                        PREFILL_TILE)
+                    for n in lanes_per_g
+                ]
+                stepped: list[dict] = []
+                group_has = [False] * dp
+                for a in active:
+                    seq = a["seq"]
+                    g = seq.dp_group
+                    rem = len(seq) - seq.num_cached_tokens
+                    if budget_left[g] <= 0:
+                        continue
+                    chunk = min(rem, budget_left[g])
+                    if chunk < rem:
+                        # mid-stream chunks round DOWN to whole tiles (their
+                        # pad rows would eat budget for nothing); a doc that
+                        # can't fit a whole tile waits for the next step
+                        chunk -= chunk % PREFILL_TILE
+                        if chunk == 0:
+                            if group_has[g]:
+                                continue
+                            chunk = min(rem, budget_left[g])  # progress
+                    seq.num_new_tokens = chunk
+                    budget_left[g] -= _round_up(chunk, PREFILL_TILE)
+                    group_has[g] = True
+                    stepped.append(a)
+                lps_all, group_batches, group_idx = self.model_runner.run_score(
+                    [a["seq"] for a in stepped]
+                )
+                for g, (gi, batch_np) in enumerate(
+                    zip(group_idx, group_batches)
+                ):
                     rows = np.nonzero(batch_np.slot_mapping >= 0)[0]
-                    for r in rows:
-                        p = int(batch_np.positions[r])
-                        if p + 1 < len(seq):
-                            lps[p + 1] = float(row_lps[r])
-                    seq.num_cached_tokens += chunk
-                    seq.num_new_tokens = 0
-            finally:
-                bm.deallocate(seq)
-            results.append(lps[1:])
+                    lanes = batch_np.token_seq[rows]
+                    pos = batch_np.positions[rows]
+                    vals = lps_all[g][rows]
+                    for li in np.unique(lanes):
+                        a = stepped[gi[int(li)]]
+                        m = lanes == li
+                        nxt = pos[m] + 1
+                        keep = nxt < len(a["seq"])
+                        a["lps"][nxt[keep]] = vals[m][keep]
+                for a in stepped:
+                    a["seq"].num_cached_tokens += a["seq"].num_new_tokens
+                    a["seq"].num_new_tokens = 0
+
+                # retire finished documents
+                still = []
+                for a in active:
+                    if a["seq"].num_cached_tokens >= len(a["seq"]):
+                        sched.block_managers[a["seq"].dp_group].deallocate(
+                            a["seq"]
+                        )
+                        results[a["idx"]] = a["lps"][1:].tolist()
+                    else:
+                        still.append(a)
+                active = still
+        finally:
+            for a in active:  # only on an exception mid-flight
+                sched.block_managers[a["seq"].dp_group].deallocate(a["seq"])
         return results
 
     def perplexity(self, token_ids_list: list[list[int]]) -> float:

@@ -614,36 +614,59 @@ class ModelRunner:
         key is derived from it inside the program — see _key_data)."""
         return self._put_batch(np.asarray(n, np.int32), leading_dp=False)
 
-    def run_score(self, seqs: list[Sequence], targets_fn=None) -> np.ndarray:
-        """One scoring step over the scheduled chunks (dp group 0); returns
-        logprobs [T_pad].
+    def run_score(self, seqs: list[Sequence]):
+        """One scoring step over the scheduled chunks, batched across lanes
+        AND dp groups; returns (lps [dp, T_pad], group_batches, group_idx).
 
-        The target of each row is the sequence's NEXT token (teacher forcing);
-        rows whose position is the last token of their sequence get target 0
-        and must be ignored by the caller.
+        ``seqs`` may hold many documents with any dp_group assignment; each
+        group's documents pack into one multi-lane prefill batch (the layout
+        machinery in engine/batch.py), and groups run concurrently on their
+        own chips — vs the retired one-doc/one-group path that serialized a
+        WikiText eval document-by-document.  The target of each row is its
+        sequence's NEXT token (teacher forcing); rows whose position is the
+        last token of their sequence get target 0 and must be ignored by the
+        caller.  ``group_idx[g]`` maps group g's lane order back to positions
+        in ``seqs``.
         """
-        assert all(s.dp_group == 0 for s in seqs), "scoring runs on dp group 0"
         bs = self.config.kvcache_block_size
-        layout = step_layout(seqs, bs)[:4] + (self._p_pad,)
-        batch_np, _, segments = prepare_step_batch(seqs, bs, layout)
-        targets = np.zeros_like(batch_np.token_ids)
-        for i, seq in enumerate(seqs):
-            rows = np.nonzero(batch_np.token_seq == i)[0]
-            for r in rows:
-                p = int(batch_np.positions[r])
-                if batch_np.slot_mapping[r] >= 0 and p + 1 < len(seq):
-                    targets[r] = seq.token_ids[p + 1]
-        group_batches = [batch_np] + [
-            prepare_step_batch([], bs, layout)[0] for _ in range(self.dp - 1)
-        ]
+        group_idx = self._group_indices(seqs)
+        # one forced layout across groups (dp-stacked shapes must agree)
+        layouts = [step_layout([seqs[i] for i in g], bs) for g in group_idx]
+        layout = merge_layouts(layouts)[:4] + (self._p_pad,)
+        group_batches, targets_list = [], []
+        segments = layout[:3]
+        for g in group_idx:
+            gseqs = [seqs[i] for i in g]
+            batch_np, _, segments = prepare_step_batch(gseqs, bs, layout)
+            targets = np.zeros_like(batch_np.token_ids)
+            if gseqs:
+                # vectorized target gather (a per-row python loop measured
+                # ~O(10 ms) per 8k-row step): pad token ids to a [n, max+1]
+                # matrix, then targets = tok[lane, pos + 1] where valid
+                lens = np.asarray([len(s) for s in gseqs], np.int64)
+                tok = np.zeros((len(gseqs), int(lens.max()) + 1), np.int32)
+                for li, seq in enumerate(gseqs):
+                    tok[li, : len(seq)] = seq.token_ids
+                lane = batch_np.token_seq
+                # pad lanes carry their own index up to s_pad: clip before
+                # indexing (they are masked out by slot_mapping == -1 anyway)
+                lane_c = np.minimum(lane, len(gseqs) - 1)
+                nxt = batch_np.positions + 1
+                valid = (
+                    (batch_np.slot_mapping >= 0)
+                    & (lane < len(gseqs))
+                    & (nxt < lens[lane_c])
+                    & (nxt > 0)
+                )
+                targets[valid] = tok[lane_c[valid], nxt[valid]]
+            group_batches.append(batch_np)
+            targets_list.append(targets)
         packed = self._put_batch(self._stack_packed(group_batches))
-        targets_dp = np.zeros((self.dp,) + targets.shape, targets.dtype)
-        targets_dp[0] = targets
         lps_dev, self.kv_pages = self._score(
-            self.params, self.kv_pages, packed, self._put_batch(targets_dp),
-            segments,
+            self.params, self.kv_pages, packed,
+            self._put_batch(np.stack(targets_list)), segments,
         )
-        return np.asarray(jax.device_get(lps_dev))[0], batch_np
+        return np.asarray(jax.device_get(lps_dev)), group_batches, group_idx
 
     def _build_burst(self):
         """W decode steps in one device program: lax.scan over the full

@@ -276,9 +276,32 @@ def compute_logprobs_local(params, hidden, targets, spec: ModelSpec, axis_name):
 
     Used by the scoring/perplexity path (no reference equivalent — the
     reference is generation-only; BASELINE.md requires WikiText-2 ppl gates).
-    Cross-shard math: global logsumexp via pmax + psum; the target logit is
-    summed across shards (exactly one shard owns each target id).
+
+    Row-tiled: the per-row logsumexp needs the full [rows, V_l] f32 logits
+    live, which at a batched-scoring T of 8-16k rows and a 152k vocab is
+    many GiB of HBM temp (measured: 23.2 GiB requested at T=16384, tp=1 —
+    compile-time OOM).  A lax.map over 512-row tiles keeps the temp at
+    ~300 MB regardless of how many documents the step packs; the extra
+    lm_head re-reads are noise next to the matmul itself.
     """
+    t = hidden.shape[0]
+    tile = 512
+    if t > tile and t % tile == 0:
+        hid = hidden.reshape(t // tile, tile, hidden.shape[1])
+        tgt = targets.reshape(t // tile, tile)
+        out = lax.map(
+            lambda args: _logprobs_rows(params, args[0], args[1], spec,
+                                        axis_name),
+            (hid, tgt),
+        )
+        return out.reshape(t)
+    return _logprobs_rows(params, hidden, targets, spec, axis_name)
+
+
+def _logprobs_rows(params, hidden, targets, spec: ModelSpec, axis_name):
+    """Target logprobs for one row tile.  Cross-shard math: global logsumexp
+    via pmax + psum; the target logit is summed across shards (exactly one
+    shard owns each target id)."""
     logits = compute_logits_local(params, hidden, spec)      # [T, V_l] f32
     t, v_l = logits.shape
     shard = lax.axis_index(axis_name) if axis_name else 0

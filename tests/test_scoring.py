@@ -63,6 +63,58 @@ def test_score_chunked_matches_unchunked(tiny_ckpt):
     np.testing.assert_allclose(chunked, hf_logprobs(path, doc), rtol=5e-4, atol=5e-4)
 
 
+def test_score_batched_matches_per_doc(tiny_ckpt):
+    """Many documents in ONE score() call (concurrent prefill lanes) must
+    equal scoring each document in its own call, and HF."""
+    path, _ = tiny_ckpt
+    rng = np.random.default_rng(5)
+    docs = [
+        [int(x) for x in rng.integers(3, 120, size=n)]
+        for n in (12, 5, 70, 33, 2, 17)
+    ]
+    llm = make_llm(path, max_num_batched_tokens=256, num_kvcache_blocks=96)
+    free0 = llm.scheduler.block_manager.num_free_blocks
+    batched = llm.score(docs)
+    assert llm.scheduler.block_manager.num_free_blocks == free0  # no leaks
+    for doc, got in zip(docs, batched):
+        np.testing.assert_allclose(got, llm.score([doc])[0], rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_allclose(got, hf_logprobs(path, doc), rtol=5e-4,
+                                   atol=5e-4)
+
+
+def test_score_batched_more_docs_than_lanes(tiny_ckpt):
+    """More documents than max_num_seqs lanes: admission must wave through
+    the lane cap (and the tiny budget forces chunked interleaving)."""
+    path, _ = tiny_ckpt
+    rng = np.random.default_rng(6)
+    docs = [
+        [int(x) for x in rng.integers(3, 120, size=int(n))]
+        for n in rng.integers(2, 40, size=12)
+    ]
+    llm = make_llm(path, max_num_seqs=4, max_num_batched_tokens=64)
+    batched = llm.score(docs)
+    for doc, got in zip(docs, batched):
+        np.testing.assert_allclose(got, hf_logprobs(path, doc), rtol=5e-4,
+                                   atol=5e-4)
+
+
+def test_score_batched_dp2(tiny_ckpt):
+    """Documents spread across dp groups must score identically to dp=1."""
+    path, cfg = tiny_ckpt
+    rng = np.random.default_rng(7)
+    docs = [
+        [int(x) for x in rng.integers(3, 120, size=n)]
+        for n in (20, 9, 35, 4, 28)
+    ]
+    dp1 = make_llm(path, max_num_batched_tokens=128).score(docs)
+    llm2 = make_llm(path, data_parallel_size=2, max_num_batched_tokens=128,
+                    num_kvcache_blocks=32)
+    dp2 = llm2.score(docs)
+    for a, b in zip(dp1, dp2):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
 def test_perplexity_and_block_release(tiny_ckpt):
     path, _ = tiny_ckpt
     llm = make_llm(path)
