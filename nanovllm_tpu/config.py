@@ -104,6 +104,25 @@ class Config:
     # method broadcast (reference model_runner.py:195-288).
     distributed: bool = False
 
+    # --- Pallas attention-kernel tuning (ops.ragged_paged_attention.AttnKnobs
+    # docstring explains each; values here land on ModelSpec.attn_knobs, so
+    # they are part of the jitted programs' identity and two engines in one
+    # process can diverge).  None = kernel default; the NVT_* env vars remain
+    # the highest-precedence A/B override for the bench tools.
+    attn_decode_npp: int | None = None      # NVT_DECODE_NPP (default 8)
+    attn_decode_xlane: bool | None = None   # NVT_DECODE_XLANE (default on)
+    attn_decode_ring: int | None = None     # NVT_DECODE_RING (default 4)
+    attn_decode_tpp: int | None = None      # NVT_DECODE_TPP (default 2)
+    attn_prefill_manual: bool | None = None  # NVT_PREFILL_MANUAL (default on)
+    attn_prefill_npp: int | None = None     # NVT_PREFILL_NPP (default 4)
+    attn_prefill_ring: int | None = None    # NVT_PREFILL_RING (default 2)
+    # W4A16 quantization-scheme knobs (host-side; affect the packed weight
+    # layout, so they must match between quantize and serve — QUALITY.md
+    # records the measured levers).  None = env (NVT_INT4_GROUP/NVT_INT4_MSE)
+    # then defaults (128 / MSE-scan on).
+    int4_group: int | None = None
+    int4_mse: bool | None = None
+
     def __post_init__(self):
         # Any positive size works for the control plane; the Pallas paged
         # attention path additionally requires a multiple of 16 (asserted

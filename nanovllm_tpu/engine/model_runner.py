@@ -145,8 +145,11 @@ class ModelRunner:
                 )
         if config.distributed:
             _init_distributed()
+        from nanovllm_tpu.ops.ragged_paged_attention import AttnKnobs
+
         self.spec = ModelSpec.from_hf(
-            config.hf_config, config.tensor_parallel_size, config.dtype
+            config.hf_config, config.tensor_parallel_size, config.dtype,
+            attn_knobs=AttnKnobs.resolve(config),
         )
         self.dp = config.data_parallel_size
         self.mesh = make_mesh(config.tensor_parallel_size, devices, self.dp)
@@ -183,21 +186,24 @@ class ModelRunner:
                 distinct_layers=config.random_weights != "fast",
             )
             if config.quantization != "none":
+                from nanovllm_tpu.ops.quant_matmul import int4_scheme
                 from nanovllm_tpu.utils.loader import quantize_params
 
                 params_np = quantize_params(
                     params_np, config.quantization,
                     config.tensor_parallel_size, lm_head_int8=lm_head_int8,
+                    scheme=int4_scheme(config),
                 )
         else:
             # lazy host-sliced load: each host reads only its own shards of
             # the checkpoint (utils/lazy_loader.py); quantization is applied
             # slice-wise inside the leaf fetches
+            from nanovllm_tpu.ops.quant_matmul import int4_scheme
             from nanovllm_tpu.utils.lazy_loader import load_qwen3_params_lazy
 
             params_np = load_qwen3_params_lazy(
                 config.model, self.spec, config.quantization,
-                lm_head_int8=lm_head_int8,
+                lm_head_int8=lm_head_int8, scheme=int4_scheme(config),
             )
         mark("host_params")  # random init / lazy load + host quantization
         self._pspecs = pspecs_for(params_np)

@@ -72,9 +72,15 @@ class ModelSpec:
     # Mistral sliding-window attention: a token at position p attends kv
     # positions [max(0, p+1-W), p+1).  None = full causal.
     sliding_window: int | None = None
+    # Pallas kernel tuning knobs (ops.ragged_paged_attention.AttnKnobs) —
+    # carried here so they are part of every jitted program's identity and
+    # two engines in one process can diverge; None = env/default resolution
+    # inside the kernel wrapper.
+    attn_knobs: object = None
 
     @classmethod
-    def from_hf(cls, hf_config, tp_size: int = 1, dtype: str = "bfloat16"):
+    def from_hf(cls, hf_config, tp_size: int = 1, dtype: str = "bfloat16",
+                attn_knobs=None):
         head_dim = getattr(hf_config, "head_dim", None) or (
             hf_config.hidden_size // hf_config.num_attention_heads
         )
@@ -105,6 +111,7 @@ class ModelSpec:
             qk_norm=qk_norm,
             attention_bias=attn_bias,
             sliding_window=sliding_window,
+            attn_knobs=attn_knobs,
         )
         assert spec.num_heads % tp_size == 0, "num_heads must divide tp"
         assert spec.num_kv_heads % tp_size == 0, "num_kv_heads must divide tp"
@@ -204,7 +211,7 @@ def decoder_layer(x, layer_params, kv_pages, layer, pages_per_layer, batch,
     o = paged_attention(
         q, kv_pages, layer, pages_per_layer, batch.kv_lens, batch.page_indices,
         batch.token_seq, batch.positions, segments,
-        sm_scale=spec.sm_scale, impl=attn_impl,
+        sm_scale=spec.sm_scale, impl=attn_impl, knobs=spec.attn_knobs,
         sliding_window=spec.sliding_window,
     )
     o = quant_linear(o.reshape(t, spec.q_size_l), lp["o"], impl=attn_impl,

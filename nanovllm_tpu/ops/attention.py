@@ -117,8 +117,12 @@ def paged_attention(
     sm_scale: float,
     impl: str = "ref",
     sliding_window: int | None = None,
+    knobs=None,
 ):
-    """Dispatch over the segmented layout; returns [T, nh, hd]."""
+    """Dispatch over the segmented layout; returns [T, nh, hd].
+
+    ``knobs`` (ops.ragged_paged_attention.AttnKnobs) carries the kernel
+    tuning parameters; None resolves from env/defaults."""
     if impl == "ref":
         return ragged_paged_attention_ref(
             q, kv_pages, layer, pages_per_layer, page_indices, token_seq,
@@ -137,7 +141,7 @@ def paged_attention(
             q[:dec_end], kv_pages, layer, pages_per_layer, kv_lens,
             page_indices, token_seq[:dec_end], positions[:dec_end],
             sm_scale=sm_scale, q_tile=1, interpret=interpret,
-            sliding_window=sliding_window,
+            sliding_window=sliding_window, knobs=knobs,
         )
         out = out.at[:dec_end].set(dec)
     if p_end > p_start:
@@ -146,7 +150,7 @@ def paged_attention(
             page_indices, token_seq[p_start:p_end:PREFILL_TILE],
             positions[p_start:p_end:PREFILL_TILE],
             sm_scale=sm_scale, q_tile=PREFILL_TILE, interpret=interpret,
-            sliding_window=sliding_window,
+            sliding_window=sliding_window, knobs=knobs,
         )
         out = out.at[p_start:p_end].set(pre)
     return out

@@ -27,24 +27,40 @@ from jax.experimental.pallas import tpu as pltpu
 
 GROUP = 128
 
-# int4 scheme knobs, A/B-able via tools/quality_proxy.py without config
-# plumbing (QUALITY.md records the measurements):
-#   NVT_INT4_GROUP: quant group along K for W4A16 (64 halves the dynamic-
-#     range damage of a 4-bit absmax grid at 2x the scale storage)
-#   NVT_INT4_MSE=1: per-group clip-scan scale selection (argmin round-trip
-#     MSE over scale multipliers) instead of plain absmax
-INT4_GROUP = int(_os.environ.get("NVT_INT4_GROUP", "128"))
-# MSE-scan defaults ON: it costs nothing at serving time (same bytes, same
-# layout — only the host-side quantization pays an ~8-pass scan) and cuts
-# the 4B KL proxy 0.470 -> 0.406 nats (QUALITY.md round 4).  Group 64 stays
-# opt-in: its further cut to 0.384 costs +6% weight-stream bytes per decode
-# step (scales double).
-INT4_MSE = _os.environ.get("NVT_INT4_MSE", "1") == "1"
+# int4 scheme knobs (Config fields int4_group / int4_mse; the NVT_* env
+# vars stay the highest-precedence A/B override so tools/quality_proxy.py
+# works without config plumbing — QUALITY.md records the measurements):
+#   int4_group / NVT_INT4_GROUP: quant group along K for W4A16 (64 halves
+#     the dynamic-range damage of a 4-bit absmax grid at 2x scale storage)
+#   int4_mse / NVT_INT4_MSE: per-group clip-scan scale selection (argmin
+#     round-trip MSE over scale multipliers) instead of plain absmax.
+#     Defaults ON: it costs nothing at serving time (same bytes, same
+#     layout — only the host-side quantization pays an ~8-pass scan) and
+#     cuts the 4B KL proxy 0.470 -> 0.406 nats (QUALITY.md round 4).
+#     Group 64 stays opt-in: its further cut to 0.384 costs +6% weight-
+#     stream bytes per decode step (scales double).
 
 
-def weight_group(int4: bool) -> int:
+def int4_scheme(config=None) -> tuple[int, bool]:
+    """(group, mse) for W4A16: env > Config field > default (128, True)."""
+    g = _os.environ.get("NVT_INT4_GROUP")
+    if g is not None:
+        group = int(g)
+    else:
+        group = getattr(config, "int4_group", None) if config else None
+        group = int(group) if group else 128
+    m = _os.environ.get("NVT_INT4_MSE")
+    if m is not None:
+        mse = m == "1"
+    else:
+        mse = getattr(config, "int4_mse", None) if config else None
+        mse = True if mse is None else bool(mse)
+    return group, mse
+
+
+def weight_group(int4: bool, config=None) -> int:
     """Effective quant-group width along K for the weight-only schemes."""
-    return INT4_GROUP if int4 else GROUP
+    return int4_scheme(config)[0] if int4 else GROUP
 
 
 def _qmm_kernel(*refs, n_k, int4: bool, stacked: bool, native4: bool = False):
@@ -358,7 +374,7 @@ def quantize_weight(w, *, int4: bool = False, group: int | None = None,
     if group is None:
         group = weight_group(int4)
     if mse is None:
-        mse = INT4_MSE and int4
+        mse = int4_scheme()[1] and int4
     *lead, k, n = w.shape
     assert k % group == 0, (k, group)
     qmax = 7.0 if int4 else 127.0

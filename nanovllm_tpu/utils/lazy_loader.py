@@ -175,8 +175,9 @@ def _vocab_rows(ckpt, name, spec):
     return LazyLeaf(shape, dt, fetch)
 
 
-def _quant_pair(base: LazyLeaf, mode: str):
-    """Quantized {"w", "s"} lazy views over a [L, K, N] base leaf."""
+def _quant_pair(base: LazyLeaf, mode: str, scheme=None):
+    """Quantized {"w", "s"} lazy views over a [L, K, N] base leaf.
+    ``scheme``: optional (group, mse) for int4 (Config int4_group/int4_mse)."""
     L, k, n = base.shape
     if mode == "w8a8":
         w = LazyLeaf((L, k, n), np.int8, lambda r: quantize_weight_a8(
@@ -187,7 +188,7 @@ def _quant_pair(base: LazyLeaf, mode: str):
         )[1][:, 0, :])
         return {"w": w, "s": s}
     int4 = mode == "int4"
-    group = weight_group(int4)
+    group, mse = scheme if (int4 and scheme) else (weight_group(int4), None)
     rows = k // 2 if int4 else k
     mult = 2 if int4 else 1
 
@@ -195,12 +196,12 @@ def _quant_pair(base: LazyLeaf, mode: str):
         (l0, l1), (k0, k1), (n0, n1) = r
         blk = base[l0:l1, k0 * mult:k1 * mult, n0:n1]
         assert blk.shape[1] % group == 0, "weight slice must cover whole groups"
-        return quantize_weight(blk, int4=int4)[0]
+        return quantize_weight(blk, int4=int4, group=group, mse=mse)[0]
 
     def fetch_s(r):
         (l0, l1), (g0, g1), (n0, n1) = r
         blk = base[l0:l1, g0 * group:g1 * group, n0:n1]
-        return quantize_weight(blk, int4=int4)[1]
+        return quantize_weight(blk, int4=int4, group=group, mse=mse)[1]
 
     return {
         "w": LazyLeaf((L, rows, n), np.int8, fetch_w),
@@ -210,7 +211,7 @@ def _quant_pair(base: LazyLeaf, mode: str):
 
 def load_qwen3_params_lazy(path: str, spec: ModelSpec,
                            quantization: str = "none",
-                           lm_head_int8: bool = False) -> dict:
+                           lm_head_int8: bool = False, scheme=None) -> dict:
     """Lazy counterpart of loader.load_qwen3_params (+ quantize_params).
 
     Big leaves ([L, K, N] stacks, vocab tables) are LazyLeaf; small per-layer
@@ -261,7 +262,7 @@ def load_qwen3_params_lazy(path: str, spec: ModelSpec,
 
     if quantization != "none":
         for name in QUANTIZED_LAYER_WEIGHTS:
-            layers[name] = _quant_pair(layers[name], quantization)
+            layers[name] = _quant_pair(layers[name], quantization, scheme)
 
     params = {
         "embed": _vocab_rows(ckpt, "model.embed_tokens.weight", spec),

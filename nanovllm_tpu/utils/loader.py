@@ -136,12 +136,14 @@ def quantize_lm_head(head: "np.ndarray") -> dict:
 
 
 def quantize_params(params: dict, mode: str, tp: int,
-                    lm_head_int8: bool = False) -> dict:
+                    lm_head_int8: bool = False, scheme=None) -> dict:
     """Quantization of the decoder linears (embed/norms stay high precision;
     the LM-head gets a per-row int8 copy when ``lm_head_int8``).  ``mode``:
       "int8" / "int4" — weight-only, group=128 along the contraction axis;
       "w8a8"          — int8 weights per-channel + dynamic int8 activations
                         (int8 MXU; see ops/quant_matmul.py).
+    ``scheme`` — optional (group, mse) pair for int4 (Config int4_group /
+    int4_mse via ops.quant_matmul.int4_scheme); None = env/default.
     """
     from nanovllm_tpu.ops.quant_matmul import (
         GROUP,
@@ -151,6 +153,7 @@ def quantize_params(params: dict, mode: str, tp: int,
 
     assert mode in ("int8", "int4", "w8a8"), mode
     int4 = mode == "int4"
+    i4_group, i4_mse = scheme if (int4 and scheme) else (None, None)
     layers = dict(params["layers"])
     for name in QUANTIZED_LAYER_WEIGHTS:
         w = layers[name]                       # [L, K, N]
@@ -173,7 +176,7 @@ def quantize_params(params: dict, mode: str, tp: int,
             assert (k // tp) % GROUP == 0, (name, k, tp)
         else:
             assert k % GROUP == 0, (name, k)
-        wq, scales = quantize_weight(w, int4=int4)
+        wq, scales = quantize_weight(w, int4=int4, group=i4_group, mse=i4_mse)
         if bcast:
             wq = np.broadcast_to(wq, (L,) + wq.shape)
             scales = np.broadcast_to(scales, (L,) + scales.shape)

@@ -255,6 +255,90 @@ class TestPlaneKVWrite:
             )
 
 
+class TestKnobs:
+    """AttnKnobs variants must all match the oracle (the BlockSpec-grid
+    fallback path included, so it cannot silently rot)."""
+
+    def _case(self):
+        rng = np.random.default_rng(12)
+        kv_len, q_len = 120, 60
+        case = build_case(rng, [kv_len], [q_len], nh=4, kvh=2, hd=32)
+        q, kv_pages, kv_lens, page_indices, token_seq, positions = case
+        t_pad = PREFILL_TILE
+        qp = jnp.zeros((t_pad,) + q.shape[1:], q.dtype).at[:q_len].set(q)
+        ts = jnp.zeros(t_pad, jnp.int32).at[:q_len].set(token_seq)
+        pos = jnp.zeros(t_pad, jnp.int32).at[:q_len].set(positions)
+        ref = ragged_paged_attention_ref(
+            q, kv_pages, LAYER, PPL, page_indices, token_seq, positions,
+            sm_scale=0.25,
+        )
+        return (qp, kv_pages, kv_lens, page_indices, ts, pos), ref, q_len
+
+    @pytest.mark.parametrize("knobs", [
+        # the BlockSpec-grid fallback (kept as the non-manual-DMA partner)
+        dict(prefill_manual=False),
+        # manual path at non-default sizing
+        dict(prefill_npp=2, prefill_ring=3),
+        dict(decode_xlane=False),
+    ])
+    def test_knob_variants_match_oracle(self, knobs):
+        from nanovllm_tpu.ops.ragged_paged_attention import AttnKnobs
+
+        (qp, kv_pages, kv_lens, page_indices, ts, pos), ref, q_len = \
+            self._case()
+        ours = ragged_paged_attention_pallas(
+            qp, kv_pages, LAYER, PPL, kv_lens, page_indices,
+            ts[::PREFILL_TILE], pos[::PREFILL_TILE],
+            sm_scale=0.25, q_tile=PREFILL_TILE, interpret=True,
+            knobs=AttnKnobs(**knobs),
+        )
+        np.testing.assert_allclose(np.asarray(ours)[:q_len], np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_config_reaches_spec_and_env_wins(self, monkeypatch, tmp_path):
+        """Config attn_* fields land on ModelSpec.attn_knobs; NVT_* env vars
+        override them; two engines in one process can diverge."""
+        from nanovllm_tpu.config import Config
+        from nanovllm_tpu.ops.ragged_paged_attention import AttnKnobs
+
+        cfg_a = Config(hf_config=_tiny_hf(), attn_decode_npp=4,
+                       attn_prefill_manual=False)
+        cfg_b = Config(hf_config=_tiny_hf())
+        ka = AttnKnobs.resolve(cfg_a)
+        kb = AttnKnobs.resolve(cfg_b)
+        assert ka.decode_npp == 4 and not ka.prefill_manual
+        assert kb.decode_npp == 8 and kb.prefill_manual
+        assert ka != kb  # divergent engines in one process
+        monkeypatch.setenv("NVT_DECODE_NPP", "2")
+        assert AttnKnobs.resolve(cfg_a).decode_npp == 2  # env wins
+
+    def test_int4_scheme_resolution(self, monkeypatch):
+        from nanovllm_tpu.config import Config
+        from nanovllm_tpu.ops.quant_matmul import int4_scheme
+
+        assert int4_scheme() == (128, True)
+        cfg = Config(hf_config=_tiny_hf(), int4_group=64, int4_mse=False)
+        assert int4_scheme(cfg) == (64, False)
+        monkeypatch.setenv("NVT_INT4_GROUP", "32")
+        assert int4_scheme(cfg) == (32, False)  # env wins
+
+
+def _tiny_hf():
+    class H:
+        hidden_size = 64
+        num_hidden_layers = 2
+        num_attention_heads = 4
+        num_key_value_heads = 2
+        head_dim = 16
+        intermediate_size = 96
+        vocab_size = 128
+        max_position_embeddings = 512
+        rope_theta = 10000.0
+        rms_norm_eps = 1e-6
+        tie_word_embeddings = True
+    return H()
+
+
 class TestSlidingWindow:
     """Sliding-window masking + lower-bounded page walk vs the oracle."""
 
