@@ -116,12 +116,19 @@ class Config:
     attn_prefill_manual: bool | None = None  # NVT_PREFILL_MANUAL (default on)
     attn_prefill_npp: int | None = None     # NVT_PREFILL_NPP (default 4)
     attn_prefill_ring: int | None = None    # NVT_PREFILL_RING (default 2)
+    attn_fused_kv_write: bool | None = None  # NVT_FUSED_KV (default on)
     # W4A16 quantization-scheme knobs (host-side; affect the packed weight
     # layout, so they must match between quantize and serve — QUALITY.md
     # records the measured levers).  None = env (NVT_INT4_GROUP/NVT_INT4_MSE)
     # then defaults (128 / MSE-scan on).
     int4_group: int | None = None
     int4_mse: bool | None = None
+    # Data-free incoherence rotation (QuaRot-class, utils/rotation.py):
+    # rotate the residual basis by a random orthogonal before quantizing,
+    # spreading weight outliers across channels.  Host-side, calibration-
+    # free, exact in real arithmetic; adds two thin [T,H]x[H,H] matmuls per
+    # step.  Forces the eager (non-lazy) checkpoint loader.
+    quant_rotate: bool = False
 
     def __post_init__(self):
         # Any positive size works for the control plane; the Pallas paged

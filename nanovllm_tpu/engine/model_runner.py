@@ -185,10 +185,35 @@ class ModelRunner:
                 0, self.spec,
                 distinct_layers=config.random_weights != "fast",
             )
+            if config.quant_rotate:
+                from nanovllm_tpu.utils.rotation import (
+                    apply_incoherence_rotation,
+                )
+
+                params_np = apply_incoherence_rotation(params_np, self.spec)
             if config.quantization != "none":
                 from nanovllm_tpu.ops.quant_matmul import int4_scheme
                 from nanovllm_tpu.utils.loader import quantize_params
 
+                params_np = quantize_params(
+                    params_np, config.quantization,
+                    config.tensor_parallel_size, lm_head_int8=lm_head_int8,
+                    scheme=int4_scheme(config),
+                )
+        elif config.quant_rotate:
+            # incoherence rotation mixes every K row (R^T @ W), which the
+            # slice-wise lazy fetches cannot express: eager load + rotate +
+            # quantize on the host instead
+            from nanovllm_tpu.ops.quant_matmul import int4_scheme
+            from nanovllm_tpu.utils.loader import (
+                load_qwen3_params,
+                quantize_params,
+            )
+            from nanovllm_tpu.utils.rotation import apply_incoherence_rotation
+
+            params_np = load_qwen3_params(config.model, self.spec)
+            params_np = apply_incoherence_rotation(params_np, self.spec)
+            if config.quantization != "none":
                 params_np = quantize_params(
                     params_np, config.quantization,
                     config.tensor_parallel_size, lm_head_int8=lm_head_int8,

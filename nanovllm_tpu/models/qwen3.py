@@ -204,16 +204,44 @@ def decoder_layer(x, layer_params, kv_pages, layer, pages_per_layer, batch,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
+    # Fused decode KV write (AttnKnobs.fused_kv_write): the decode segment's
+    # rows are written by the attention kernel itself (patch fetched page +
+    # aliased slab write-back) instead of the XLA row scatter; the prefill
+    # segment keeps the page-plane write.  KV4 keeps the scatter.
+    from nanovllm_tpu.ops.kv_cache import _quantize_rows, cache_kv_bits
+    from nanovllm_tpu.ops.kv_cache import is_quantized_cache
+    from nanovllm_tpu.ops.ragged_paged_attention import AttnKnobs
+
+    dec_end = segments[0]
+    knobs = spec.attn_knobs if spec.attn_knobs is not None else AttnKnobs.resolve()
+    fuse = (
+        attn_impl == "pallas" and dec_end > 0
+        and knobs.fused_kv_write and cache_kv_bits(kv_pages) != 4
+    )
+    new_kv = None
+    if fuse:
+        kd, vd = k[:dec_end], v[:dec_end]
+        kvh_l = spec.kv_heads_l
+        if is_quantized_cache(kv_pages):
+            qrows, qscale = _quantize_rows(jnp.concatenate([kd, vd], axis=1))
+            new_kv = (qrows[:, :kvh_l].reshape(dec_end, -1),
+                      qrows[:, kvh_l:].reshape(dec_end, -1), qscale)
+        else:
+            dt = kv_pages.dtype
+            new_kv = (kd.astype(dt).reshape(dec_end, -1),
+                      vd.astype(dt).reshape(dec_end, -1), None)
     kv_pages = write_kv_pages(kv_pages, layer, pages_per_layer, k, v,
                               batch.slot_mapping, segments=segments,
                               prefill_pages=batch.prefill_pages,
-                              impl=attn_impl)
+                              impl=attn_impl, skip_decode=fuse)
     o = paged_attention(
         q, kv_pages, layer, pages_per_layer, batch.kv_lens, batch.page_indices,
         batch.token_seq, batch.positions, segments,
-        sm_scale=spec.sm_scale, impl=attn_impl, knobs=spec.attn_knobs,
-        sliding_window=spec.sliding_window,
+        sm_scale=spec.sm_scale, impl=attn_impl, knobs=knobs,
+        sliding_window=spec.sliding_window, new_kv=new_kv,
     )
+    if fuse:
+        o, kv_pages = o
     o = quant_linear(o.reshape(t, spec.q_size_l), lp["o"], impl=attn_impl,
                      layer=layer)
     x = x + _maybe_psum(o, axis_name)
@@ -239,6 +267,11 @@ def forward_local(params, kv_pages, batch, segments, spec: ModelSpec, axis_name,
     else:
         pages_per_layer = kv_pages.shape[0] // (2 * spec.num_layers)
     x = embed_lookup(params["embed"], batch.token_ids, spec, axis_name)
+    if "rot" in params:
+        # incoherence rotation (utils/rotation.py): the decoder stack runs
+        # in a rotated residual basis; embed/final-norm/head stay original
+        x = jnp.dot(x, params["rot"], preferred_element_type=jnp.float32
+                    ).astype(x.dtype)
     cos, sin = rope_cos_sin(batch.positions, spec.head_dim, spec.rope_theta)
 
     # Quantized {"w","s"} weights stay STACKED [L, ...] and are closed over:
@@ -261,6 +294,9 @@ def forward_local(params, kv_pages, batch, segments, spec: ModelSpec, axis_name,
     (x, kv_pages, _), _ = lax.scan(
         body, (x, kv_pages, jnp.int32(0)), rest
     )
+    if "unrot" in params:
+        x = jnp.dot(x, params["unrot"], preferred_element_type=jnp.float32
+                    ).astype(x.dtype)
     x = rms_norm(x, params["final_norm"], spec.rms_eps)
     return x, kv_pages
 

@@ -118,12 +118,17 @@ def paged_attention(
     impl: str = "ref",
     sliding_window: int | None = None,
     knobs=None,
+    new_kv=None,
 ):
-    """Dispatch over the segmented layout; returns [T, nh, hd].
+    """Dispatch over the segmented layout; returns [T, nh, hd] — or
+    (out, updated kv_pages) when ``new_kv`` requests the fused decode write.
 
     ``knobs`` (ops.ragged_paged_attention.AttnKnobs) carries the kernel
-    tuning parameters; None resolves from env/defaults."""
+    tuning parameters; None resolves from env/defaults.  ``new_kv`` is the
+    decode segment's (rows, scale) pair (see ragged_paged_attention_pallas);
+    pallas-only."""
     if impl == "ref":
+        assert new_kv is None, "fused KV write is pallas-only"
         return ragged_paged_attention_ref(
             q, kv_pages, layer, pages_per_layer, page_indices, token_seq,
             positions, sm_scale=sm_scale, sliding_window=sliding_window,
@@ -141,8 +146,10 @@ def paged_attention(
             q[:dec_end], kv_pages, layer, pages_per_layer, kv_lens,
             page_indices, token_seq[:dec_end], positions[:dec_end],
             sm_scale=sm_scale, q_tile=1, interpret=interpret,
-            sliding_window=sliding_window, knobs=knobs,
+            sliding_window=sliding_window, knobs=knobs, new_kv=new_kv,
         )
+        if new_kv is not None:
+            dec, kv_pages = dec
         out = out.at[:dec_end].set(dec)
     if p_end > p_start:
         pre = ragged_paged_attention_pallas(
@@ -153,4 +160,4 @@ def paged_attention(
             sliding_window=sliding_window, knobs=knobs,
         )
         out = out.at[p_start:p_end].set(pre)
-    return out
+    return (out, kv_pages) if new_kv is not None else out

@@ -221,6 +221,9 @@ def write_kv_pages(
     impl: str = "ref",          # accepted for API symmetry with attention;
                                 # the decode write is always the row scatter
     interpret: bool | None = None,  # unused (kept for call-site symmetry)
+    skip_decode: bool = False,  # decode rows written by the FUSED attention
+                                # kernel instead (ragged_paged_attention
+                                # new_kv); only the prefill segment written
 ):
     """Scatter directly into the full multi-layer cache.
 
@@ -256,11 +259,13 @@ def write_kv_pages(
     write_rows = _write_rows_scatter
 
     if segments is None or prefill_pages is None or segments[2] <= segments[1]:
+        if skip_decode:
+            return kv_pages
         return write_rows(kv_pages, layer, pages_per_layer, kv, slot_mapping)
 
     dec_end, p_start, p_end = segments
     out = kv_pages
-    if dec_end > 0:
+    if dec_end > 0 and not skip_decode:
         out = write_rows(
             out, layer, pages_per_layer, kv[:dec_end], slot_mapping[:dec_end]
         )

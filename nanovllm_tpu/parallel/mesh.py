@@ -107,6 +107,9 @@ def pspecs_for(params) -> dict:
             "w": P(TP_AXIS, None),     # vocab-sharded rows like the bf16 head
             "s": P(None, TP_AXIS),     # [1, V_pad] per-row scales
         }
+    for k in ("rot", "unrot"):         # incoherence rotation: replicated H x H
+        if k in params:
+            specs[k] = P(None, None)
     return specs
 
 

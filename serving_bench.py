@@ -83,6 +83,12 @@ def build_engine(args):
         kv_cache_dtype=args.kv_cache_dtype,
         dtype=args.dtype,
     )
+    if args.num_kvcache_blocks > 0:
+        # KV-capacity-pressure runs: a pool too small for the working set
+        # exercises the preempt -> re-admit -> prefix-re-hit path online
+        kwargs["num_kvcache_blocks"] = args.num_kvcache_blocks
+    if args.kvcache_block_size > 0:
+        kwargs["kvcache_block_size"] = args.kvcache_block_size
     if args.model == "random":
         from __graft_entry__ import QWEN3_0_6B, _hf_cfg
         from bench import GEOMETRIES
@@ -114,6 +120,7 @@ def run_trace(engine, args, rate, seed):
     aborted: set[int] = set()
     sent = 0
     pre0 = engine.scheduler.stats.num_preempted
+    hit0 = engine.scheduler.stats.num_prefix_cached_tokens
     start = time.perf_counter()
     while sent < args.num_requests or not engine.is_finished():
         now = time.perf_counter()
@@ -145,6 +152,8 @@ def run_trace(engine, args, rate, seed):
         "total_time": total_time,
         "aborted": len(aborted),
         "preempted": engine.scheduler.stats.num_preempted - pre0,
+        "prefix_cached_tokens":
+            engine.scheduler.stats.num_prefix_cached_tokens - hit0,
     }
 
 
@@ -173,6 +182,7 @@ def summarize(metrics, run, rate, args):
         "completed": len(done),
         "aborted": run["aborted"],
         "preempted": run["preempted"],
+        "prefix_cached_tokens": run["prefix_cached_tokens"],
         "avg_ttft_ms": round(float(np.mean(ttfts)) * 1000, 2),
         "p50_ttft_ms": round(float(np.percentile(ttfts, 50)) * 1000, 2),
         "p99_ttft_ms": round(float(np.percentile(ttfts, 99)) * 1000, 2),
@@ -186,7 +196,8 @@ def summarize(metrics, run, rate, args):
         f"TTFT p50 {row['p50_ttft_ms']} / p99 {row['p99_ttft_ms']} ms, "
         f"TPOT avg {row['avg_tpot_ms']} / p99 {row['p99_tpot_ms']} ms, "
         f"latency avg {row['avg_latency_s']} / p99 {row['p99_latency_s']} s, "
-        f"aborted {row['aborted']}, preempted {row['preempted']}",
+        f"aborted {row['aborted']}, preempted {row['preempted']}, "
+        f"prefix_hit {row['prefix_cached_tokens']}tok",
         file=sys.stderr,
     )
     return row
@@ -211,6 +222,9 @@ def main():
     parser.add_argument("--chunked-prefill", action="store_true", default=False)
     parser.add_argument("--enforce-eager", action="store_true", default=False)
     parser.add_argument("--layers", type=int, default=0, help="override (random model only)")
+    parser.add_argument("--num-kvcache-blocks", type=int, default=0,
+                        help=">0: cap the KV pool (capacity-pressure runs)")
+    parser.add_argument("--kvcache-block-size", type=int, default=0)
     parser.add_argument("--quantization", type=str, default="none")
     parser.add_argument("--kv-cache-dtype", type=str, default="auto")
     parser.add_argument("--dtype", type=str, default="bfloat16")

@@ -159,3 +159,30 @@ class TestTeardown:
         assert llm._pending is not None
         llm.exit()  # must drain, not orphan, the handle
         assert llm._pending is None
+
+
+class TestFusedKVWriteEngine:
+    """Engine-level: the fused decode KV write (pallas) must generate the
+    same greedy tokens as the scatter path, with chunked prefill + prefix
+    cache + decode burst in the loop."""
+
+    def test_fused_vs_scatter_same_tokens(self, tiny_ckpt):
+        path, _ = tiny_ckpt
+        prompts = [
+            [3, 17, 99, 5, 42, 7, 23, 88, 11, 29],
+            [101, 55, 9],
+            [77, 13, 64, 2, 33],
+        ]
+        sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+
+        def toks(fused):
+            llm = make_llm(
+                path, attention_impl="pallas", decode_burst=4,
+                chunked_prefill=True, attn_fused_kv_write=fused,
+            )
+            out = [o["token_ids"] for o in
+                   llm.generate(prompts, sp, use_tqdm=False)]
+            llm.exit()
+            return out
+
+        assert toks(True) == toks(False)

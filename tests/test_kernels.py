@@ -255,6 +255,109 @@ class TestPlaneKVWrite:
             )
 
 
+class TestFusedKVWrite:
+    """Fused decode write (new_kv): attention out AND resulting cache must
+    equal scatter-write-then-attend, bf16/f32 and int8 caches."""
+
+    def _decode_case(self, rng, kv_lens_list, num_pages=40):
+        case = build_case(rng, kv_lens_list, [1] * len(kv_lens_list),
+                          nh=4, kvh=2, hd=32, num_pages=num_pages)
+        return case
+
+    @pytest.mark.parametrize("ring_knobs", [
+        dict(),                       # default ring/xlane
+        dict(decode_xlane=False),     # in-lane double buffer path
+        dict(decode_tpp=0),           # tail phase off
+    ])
+    def test_fused_matches_scatter_f32(self, ring_knobs):
+        from nanovllm_tpu.ops.kv_cache import write_kv_pages
+        from nanovllm_tpu.ops.ragged_paged_attention import AttnKnobs
+
+        rng = np.random.default_rng(21)
+        kv = [7, 33, 130, 48, 17]     # mixed pages; 130 exercises multi-group
+        case = self._decode_case(rng, kv)
+        q, kv_pages, kv_lens, page_indices, token_seq, positions = case
+        s = len(kv)
+        kvh, hd = 2, 32
+        # zero each seq's NEWEST row so the write is observable
+        k_new = jnp.asarray(rng.standard_normal((s, kvh, hd)), jnp.float32)
+        v_new = jnp.asarray(rng.standard_normal((s, kvh, hd)), jnp.float32)
+        slots = jnp.asarray(
+            [int(page_indices[i, (kv[i] - 1) // PAGE]) * PAGE
+             + (kv[i] - 1) % PAGE for i in range(s)], jnp.int32)
+        base = kv_pages
+        for i in range(s):
+            base = base.at[2 * (LAYER * PPL + slots[i] // PAGE),
+                           slots[i] % PAGE].set(0.0)
+            base = base.at[2 * (LAYER * PPL + slots[i] // PAGE) + 1,
+                           slots[i] % PAGE].set(0.0)
+
+        knobs = AttnKnobs(**ring_knobs)
+        # path A: scatter then attend
+        cache_a = write_kv_pages(base, LAYER, PPL, k_new, v_new, slots)
+        out_a = ragged_paged_attention_pallas(
+            q, cache_a, LAYER, PPL, kv_lens, page_indices, token_seq,
+            positions, sm_scale=0.25, q_tile=1, interpret=True, knobs=knobs,
+        )
+        # path B: fused write inside the kernel
+        out_b, cache_b = ragged_paged_attention_pallas(
+            q, base, LAYER, PPL, kv_lens, page_indices, token_seq,
+            positions, sm_scale=0.25, q_tile=1, interpret=True, knobs=knobs,
+            new_kv=(k_new.reshape(s, -1), v_new.reshape(s, -1), None),
+        )
+        np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(cache_b),
+                                      np.asarray(cache_a))
+
+    def test_fused_matches_scatter_int8(self):
+        from nanovllm_tpu.ops.kv_cache import (
+            _quantize_rows,
+            write_kv_pages,
+        )
+
+        rng = np.random.default_rng(22)
+        kv = [9, 40, 129, 16]
+        s = len(kv)
+        kvh, hd = 2, 32
+        case = self._decode_case(rng, kv)
+        q, _, kv_lens, page_indices, token_seq, positions = case
+        num_pages, layers = 40, 3
+        cache0 = {
+            "data": jnp.asarray(
+                rng.integers(-100, 100, (2 * layers * num_pages, PAGE,
+                                         kvh * hd)), jnp.int8),
+            "scale": jnp.asarray(
+                rng.uniform(0.01, 0.1, (layers * num_pages, 2 * kvh, PAGE)),
+                jnp.float32),
+        }
+        k_new = jnp.asarray(rng.standard_normal((s, kvh, hd)), jnp.float32)
+        v_new = jnp.asarray(rng.standard_normal((s, kvh, hd)), jnp.float32)
+        slots = jnp.asarray(
+            [int(page_indices[i, (kv[i] - 1) // PAGE]) * PAGE
+             + (kv[i] - 1) % PAGE for i in range(s)], jnp.int32)
+
+        cache_a = write_kv_pages(cache0, LAYER, PPL, k_new, v_new, slots)
+        out_a = ragged_paged_attention_pallas(
+            q, cache_a, LAYER, PPL, kv_lens, page_indices, token_seq,
+            positions, sm_scale=0.25, q_tile=1, interpret=True,
+        )
+        qrows, qscale = _quantize_rows(jnp.concatenate([k_new, v_new], axis=1))
+        out_b, cache_b = ragged_paged_attention_pallas(
+            q, cache0, LAYER, PPL, kv_lens, page_indices, token_seq,
+            positions, sm_scale=0.25, q_tile=1, interpret=True,
+            new_kv=(qrows[:, :kvh].reshape(s, -1),
+                    qrows[:, kvh:].reshape(s, -1), qscale),
+        )
+        np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(cache_b["data"]),
+                                      np.asarray(cache_a["data"]))
+        np.testing.assert_allclose(np.asarray(cache_b["scale"]),
+                                   np.asarray(cache_a["scale"]),
+                                   rtol=1e-6, atol=1e-7)
+
+
 class TestKnobs:
     """AttnKnobs variants must all match the oracle (the BlockSpec-grid
     fallback path included, so it cannot silently rot)."""

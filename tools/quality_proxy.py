@@ -101,7 +101,7 @@ def mode_a(geom, n_tokens, prompt_len):
     return rows
 
 
-def mode_b_kl(geom, n_tokens, impl="ref", only=None):
+def mode_b_kl(geom, n_tokens, impl="ref", only=None, rotate=False):
     """Exact per-position KL(bf16 || quant) over the full vocab.
 
     ``impl="pallas"`` routes the prefill pass through the production TPU
@@ -172,10 +172,18 @@ def mode_b_kl(geom, n_tokens, impl="ref", only=None):
 
     lp_ref = logprobs(base, "auto")
     rows = []
+    rotated = None
+    if rotate:
+        # incoherence rotation (utils/rotation.py): rotate ONCE, quantize
+        # each config from the rotated tree; KL stays vs the ORIGINAL bf16
+        # model so the rotation's own bf16 rounding cost is included
+        from nanovllm_tpu.utils.rotation import apply_incoherence_rotation
+
+        rotated = apply_incoherence_rotation(dict(base), spec)
     for name, quant, kv in CONFIGS:
         if only and name not in only:
             continue
-        qp = quantize_params(dict(base), quant, tp=1)
+        qp = quantize_params(dict(rotated if rotate else base), quant, tp=1)
         lp_q = logprobs(qp, kv)
         kl = (np.exp(lp_ref) * (lp_ref - lp_q)).sum(axis=1)
         agree = float((lp_ref.argmax(axis=1) == lp_q.argmax(axis=1)).mean())
@@ -204,6 +212,9 @@ def main():
                     help="attention/matmul backend for --kl (pallas = the "
                     "production TPU kernels; mode A always runs the full "
                     "production engine path)")
+    ap.add_argument("--rotate", action="store_true",
+                    help="--kl mode: apply the data-free incoherence "
+                    "rotation before quantizing (utils/rotation.py)")
     args = ap.parse_args()
 
     from bench import GEOMETRIES
@@ -212,7 +223,8 @@ def main():
     geom = _hf_cfg(**GEOMETRIES.get(args.geom, QWEN3_0_6B))
     if args.kl:
         only = set(args.only.split(",")) if args.only else None
-        mode_b_kl(geom, args.tokens or 256, impl=args.impl, only=only)
+        mode_b_kl(geom, args.tokens or 256, impl=args.impl, only=only,
+                  rotate=args.rotate)
     else:
         mode_a(geom, args.tokens or 1024, args.prompt_len)
 
