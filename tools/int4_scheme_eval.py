@@ -49,12 +49,29 @@ def asym_mse(w, group):
     return float(((deq - g) ** 2).mean())
 
 
+def rotate(w, seed=1):
+    """Incoherence rotation on the K axis (utils/rotation.py mechanism:
+    W' = R^T W; the activation side absorbs R exactly)."""
+    from nanovllm_tpu.utils.rotation import random_orthogonal
+
+    r = random_orthogonal(w.shape[0], seed)
+    return (r.T @ w).astype(np.float32)
+
+
 def main():
     rng = np.random.default_rng(0)
     k, n = 2048, 1024
+    # outlier-channel case: trained-LLM weights concentrate energy in a few
+    # input channels (the regime QuaRot targets); gaussians are ROTATION-
+    # INVARIANT, so the on-device random-weight KL proxy cannot show any
+    # rotation effect by construction — this synthetic case can
+    outlier = (rng.standard_normal((k, n)) * 0.02).astype(np.float32)
+    ch = rng.choice(k, 16, replace=False)
+    outlier[ch] *= 20.0
     cases = {
         "gaussian": (rng.standard_normal((k, n)) * 0.02).astype(np.float32),
         "student-t(4)": (rng.standard_t(4, (k, n)) * 0.02).astype(np.float32),
+        "outlier-ch": outlier,
     }
     print(f"{'weights':<14}{'scheme':<26}{'rt-MSE':>12}{'vs sym g128':>12}")
     for name, w in cases.items():
@@ -66,6 +83,7 @@ def main():
             ("sym MSE-scan g64", sym_mse(w, 64, True)),
             ("asym zero-point g128", asym_mse(w, 128)),
             ("asym zero-point g64", asym_mse(w, 64)),
+            ("rotate + MSE-scan g128", sym_mse(rotate(w), 128, True)),
         ]
         for scheme, e in rows:
             print(f"{name:<14}{scheme:<26}{e:>12.3e}{e / base:>11.2f}x")
