@@ -188,7 +188,17 @@ def step_layout(
         p_end = bucket(p_start + n_tiles * PREFILL_TILE)
     else:
         p_start = p_end = dec_end
-    p_pad = bucket(max((len(s.block_table) for s in seqs), default=1))
+    # minimum 4 (not the default 8): short-context steps get ONE extra
+    # p_pad bucket, and the decode kernel specializes npp/ring/tail to the
+    # table width (ragged_paged_attention: 2.82x -> ~1.6x of the KV-fetch
+    # floor at ctx 384) — the 128-in/100-out reference serving workload
+    # lives at 2-3 pages.  Minimum 2 was measured and reverted: decode-
+    # burst block reserve grows 2-page tables to 3 mid-trace, so the 2-
+    # bucket forced a mid-serving jump to a cold 4-bucket program (13.5 s
+    # TTFT p50 at 8 req/s); with 4 as the floor the same growth stays in
+    # one warm bucket.
+    p_pad = bucket(max((len(s.block_table) for s in seqs), default=1),
+                   minimum=4)
     return dec_end, p_start, p_end, s_pad, p_pad
 
 

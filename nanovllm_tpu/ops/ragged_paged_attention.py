@@ -565,6 +565,8 @@ def _decode_kernel(
             # page-slot of per-lane compute at the 0.6B decode shape).
             bd_stride = hd
             bd_width = kvh * hd
+            # (a repeat+mask build of the same matrix measured WORSE: 487 ->
+            # 529 us/layer at ctx 256 — the pad/concat lowers better)
             q_bd = jnp.concatenate(
                 [
                     jnp.pad(q[h], ((0, 0),
@@ -886,6 +888,14 @@ def ragged_paged_attention_pallas(
         # q_tile == 1 -> decode (block-diagonal compute); q_tile > 1 ->
         # prefill tiles (per-head compute); same DMA ring either way.
         npp = knobs.decode_npp if q_tile == 1 else knobs.prefill_npp
+        if q_tile == 1 and pps < npp:
+            # short-context programs (page-table width < the group width,
+            # static per program — p_pad is a jit bucket key): fetch exactly
+            # the table width in ONE group and drop the tail machinery.
+            # Measured at ctx 384 / 256 live lanes / page 128: npp 8 tpp 2 =
+            # 2.82x the KV-fetch floor, npp 3 tpp 0 = 1.63x (the per-sub-step
+            # and per-issue overheads bind when pages-per-lane is tiny).
+            npp = pps
         if q_tile > 1:
             # the unrolled per-head loop keeps every head's [qg, npp*page]
             # f32 score/probability temporaries live, so the live set scales
@@ -910,6 +920,12 @@ def ragged_paged_attention_pallas(
             scalars.append(nxt)
         ring = (knobs.decode_ring if q_tile == 1 else knobs.prefill_ring) \
             if xlane else 2
+        if q_tile == 1 and xlane and pps < knobs.decode_npp:
+            # short-context programs: per-DMA issue latency dominates a
+            # lane's 1-3-page fetch, so a deeper cross-lane ring pays
+            # (1.69x -> 1.60x of floor at ctx 384; VMEM cost is tiny at
+            # these page counts)
+            ring = max(ring, 6)
         # the ring buffer must leave room in the 16 MB scoped-VMEM budget
         # (bf16 KV pages are 2x int8: ring 4 x npp 8 x 512 KB alone is 16 MB)
         page_bytes = page_size * planes * kvh * hd * kv_pages.dtype.itemsize
@@ -926,6 +942,8 @@ def ragged_paged_attention_pallas(
         # npp 8, 7-page tail -> window [6, 9) on an axis of size 8).  Fall
         # back to full-width groups (tail phase off) for invalid knob values.
         tpp = knobs.decode_tpp
+        if q_tile == 1 and npp == pps and npp < knobs.decode_npp:
+            tpp = 0  # short-context single-group programs: no tail phase
         if tpp > 0 and npp % tpp != 0:
             tpp = 0
         fuse = new_kv is not None and q_tile == 1 and not kv_int4
